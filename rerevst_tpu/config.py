@@ -1,0 +1,129 @@
+"""Typed configuration for models, inference, and training.
+
+Replaces the reference's argparse-only training config
+(``train/train.py:24-90``) and edit-the-source inference constants
+(``test/generate_real_video.py:20-43``) with one typed config covering both.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture switches of the unified TransformerNet.
+
+    Mirrors the reference flag matrix (``train/train.py:56-58`` —
+    ``--dynamic_filter --both_sty_con --train_only_decoder``) plus the
+    structural difference between the training/per-frame graph and the
+    global-statistics inference graph (see
+    ``test/style_network_global.py:366-376`` vs
+    ``test/style_network_frame.py:326-341``).
+    """
+
+    #: Use the dynamic (content,style)-predicted 1x1 filter chain at relu4_1
+    #: scale.  ``False`` falls back to plain AdaIN (ablation).
+    dynamic_filter: bool = True
+    #: ``True``: filters predicted from content AND style (KernelFilter);
+    #: ``False``: style-only 3x3 filters (KernelFilter_S ablation,
+    #: ``train/style_networks.py:191-249``).
+    both_sty_con: bool = True
+    #: Channel width of the dynamic-filter bottleneck.
+    filter_channels: int = 32
+    #: VGG channel width at relu4_1 (fixed by the VGG19 backbone).
+    vgg_channels: int = 512
+    #: Epsilon inside InstanceNorm rsqrt (``test/style_network_global.py:28``).
+    norm_eps: float = 1e-8
+    #: Epsilon inside style mean/std (``train/style_networks.py:95-103``).
+    mean_std_eps: float = 1e-5
+    #: Compute dtype for convs/matmuls.  fp32 for parity, bf16 for speed.
+    dtype: jnp.dtype = jnp.float32
+    #: Dtype used for normalization statistics and reductions (always fp32).
+    stats_dtype: jnp.dtype = jnp.float32
+
+    def with_dtype(self, dtype) -> "ModelConfig":
+        return dataclasses.replace(self, dtype=dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Settings of the video stylization pipeline.
+
+    Defaults follow ``test/generate_real_video.py:20-43,129-148``.
+    """
+
+    #: Sample every `interval`-th frame (plus the last) for the global pass.
+    sample_interval: int = 8
+    #: Use sequence-level global feature sharing (two-pass inference).
+    use_global: bool = True
+    #: Reflect-pad margin and size granularity (``generate_real_video.py:66-83``).
+    pad: int = 64
+    granularity: int = 64
+    #: Frames stylized per device step in the hot loop.
+    batch_size: int = 1
+    #: Output video fps (``generate_real_video.py:39``).
+    fps: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss toggles and weights (``train/train.py:60-88``)."""
+
+    style_content_loss: bool = True
+    recon_loss: bool = True
+    tv_loss: bool = True
+    temporal_loss: bool = True
+    relax_style: bool = True
+    old_style_loss: bool = False
+    adversarial_loss: bool = False
+
+    content_weight: float = 1.0
+    style_weight: float = 20.0
+    recon_weight: float = 20.0
+    tv_weight: float = 10.0
+    temporal_weight: float = 60.0
+    gan_weight: float = 1.0
+    old_weight: float = 10.0
+
+    # Compound Regularization knobs (``train/train.py:84-88``).
+    data_sigma: bool = True
+    data_w: bool = True
+    noise_level: float = 0.001
+    motion_level: float = 8.0
+    shift_level: int = 10
+
+    # Relaxed style loss knobs (``train/style_networks.py:471-475``).
+    flow_scale: int = 8
+    flow_iter: int = 16
+    flow_max: float = 20.0
+    flow_lr: float = 16.0
+    flow_momentum: float = 0.9
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-driver settings (``train/train.py:32-52``)."""
+
+    batch_size: int = 4
+    epochs: int = 2
+    lr: float = 1e-4
+    log_every: int = 1000
+    scalar_every: int = 10
+    num_workers: int = 4
+    load_size: int = 512
+    fine_size: int = 256
+    flip: bool = True
+    seed: int = 0
+    content_data: str = "./data/content/"
+    style_data: str = "./data/style/"
+    out_dir: str = "result"
+    val_dir: str = "val"
+    log_dir: str = "log"
+    train_only_decoder: bool = False
+
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)

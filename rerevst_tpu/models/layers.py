@@ -1,0 +1,152 @@
+"""Parameterized layers as pure functions over param pytrees (NHWC).
+
+Initialization mirrors the reference:
+* decoder convs/linears: normal(std=0.02), zero bias — init_weights 'normal'
+  (``train/style_networks.py:47-68``, called at ``train/style_networks.py:399``);
+* VGG convs: torch Conv2d default (kaiming-uniform a=sqrt(5), uniform bias) so
+  an untrained model matches the reference's distribution when no pretrained
+  weights are supplied.
+
+Weight layout is HWIO (TPU-native).  ``from_torch_conv`` converts torch OIHW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def precision_for(dtype) -> lax.Precision:
+    """fp32 params -> HIGHEST (parity); low precision -> DEFAULT (speed)."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def init_conv_normal(key, kh, kw, cin, cout, gain: float = 0.02, bias: bool = True,
+                     dtype=jnp.float32):
+    """normal(0, gain) weights, zero bias — reference decoder init."""
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype) * gain
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def init_conv_torch_default(key, kh, kw, cin, cout, bias: bool = True,
+                            dtype=jnp.float32):
+    """torch nn.Conv2d default init (kaiming_uniform a=sqrt(5) + fan-in bias)."""
+    wk, bk = jax.random.split(key)
+    fan_in = kh * kw * cin
+    bound = math.sqrt(6.0 / ((1 + 5.0) * fan_in))  # gain^2=2/(1+a^2)=1/3
+    w = jax.random.uniform(wk, (kh, kw, cin, cout), dtype, -bound, bound)
+    p = {"w": w}
+    if bias:
+        bb = 1.0 / math.sqrt(fan_in)
+        p["b"] = jax.random.uniform(bk, (cout,), dtype, -bb, bb)
+    return p
+
+
+def init_linear_normal(key, cin, cout, gain: float = 0.02, dtype=jnp.float32):
+    w = jax.random.normal(key, (cin, cout), dtype) * gain
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Torch weight conversion
+# ---------------------------------------------------------------------------
+
+def from_torch_conv(weight_oihw: np.ndarray, bias: Optional[np.ndarray] = None,
+                    dtype=jnp.float32):
+    """torch Conv2d [O,I,kH,kW] -> HWIO param dict."""
+    w = jnp.asarray(np.transpose(weight_oihw, (2, 3, 1, 0)), dtype)
+    p = {"w": w}
+    if bias is not None:
+        p["b"] = jnp.asarray(bias, dtype)
+    return p
+
+
+def from_torch_linear(weight_oi: np.ndarray, bias: Optional[np.ndarray] = None,
+                      dtype=jnp.float32):
+    """torch Linear [O,I] -> [I,O] param dict."""
+    p = {"w": jnp.asarray(np.transpose(weight_oi), dtype)}
+    if bias is not None:
+        p["b"] = jnp.asarray(bias, dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward ops
+# ---------------------------------------------------------------------------
+
+def conv2d(p, x, stride: int = 1, padding: int = 0,
+           precision: Optional[lax.Precision] = None):
+    """3x3/1x1 conv, torch-style symmetric zero padding."""
+    out = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
+def linear(p, x, precision: Optional[lax.Precision] = None):
+    out = jnp.dot(x, p["w"].astype(x.dtype), precision=precision)
+    return out + p["b"].astype(x.dtype)
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def max_pool_2x2(x):
+    """MaxPool2d(kernel=2, stride=2) on NHWC."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def apply_dynamic_filter(x, filt, precision: Optional[lax.Precision] = None):
+    """Per-sample predicted 1x1 conv: out = einsum('bhwq,bpq->bhwp').
+
+    Replaces the reference's Python per-sample chunk loop
+    (``test/style_network_global.py:194-208``) with one batched MXU matmul.
+    `filt` is [B,P,Q] (or [1,P,Q] broadcast across the batch in global mode);
+    semantics match ``F.conv2d(input, filter.permute(1,2,0,3))`` where the FC
+    output reshaped [B,P,Q] maps q-channels to p-channels.
+    """
+    if filt.shape[0] == 1 and x.shape[0] != 1:
+        filt = jnp.broadcast_to(filt, (x.shape[0],) + filt.shape[1:])
+    return jnp.einsum("bhwq,bpq->bhwp", x, filt.astype(x.dtype),
+                      precision=precision)
+
+
+def apply_dynamic_filter_3x3(x, filt, precision: Optional[lax.Precision] = None):
+    """Per-sample predicted 3x3 conv (KernelFilter_S ablation,
+    ``train/style_networks.py:225-239``). `filt` is [B,P,Q,3,3]."""
+
+    def one(xi, fi):
+        # fi: [P,Q,kh,kw] -> HWIO [kh,kw,Q,P]
+        w = jnp.transpose(fi, (2, 3, 1, 0)).astype(xi.dtype)
+        return lax.conv_general_dilated(
+            xi[None], w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+        )[0]
+
+    if filt.shape[0] == 1 and x.shape[0] != 1:
+        filt = jnp.broadcast_to(filt, (x.shape[0],) + filt.shape[1:])
+    return jax.vmap(one)(x, filt)

@@ -1,0 +1,495 @@
+"""The unified style-transfer network (encoder / style encoder / decoder).
+
+One functional model replaces the reference's five copy-pasted variants:
+
+* training / per-frame inference graph — ``train/style_networks.py:378-443``
+  == ``test/style_network_frame.py:295-359`` (stateless instance norms,
+  filters predicted per frame, style affine re-applied after the filter
+  chain);
+* sequence-level global graph — ``test/style_network_global.py:334-451``
+  (frozen per-sequence norm statistics with min/max clamping, filters frozen
+  from batch-pooled content, an extra norm site between the filter chain and
+  the first residual block);
+* multi-style interpolation — ``Multi-style Interpolation/style_network.py``
+  (the global graph where the frozen state is a weighted blend over styles).
+
+All conditioning state is explicit:
+
+* ``StyleFeatures`` — everything derived from a style image;
+* ``SeqStats`` — everything derived from a (style, sampled-frames) pair.
+
+Both are pytrees, so multi-style interpolation is literally
+``blend_pytrees([s1, s2], [w, 1-w])`` (cf. the reference's per-layer Python
+blending loops, ``Multi-style Interpolation/style_network.py:35-53,135-139``).
+
+The decode is ``vmap``-free and batch-first: every op is batched NHWC so the
+same function serves one frame or a frame batch; the global stats pass is the
+same graph with batch reductions (and, in ``rerevst_tpu.parallel``, cross-chip
+``psum/pmax/pmin`` reductions).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rerevst_tpu.config import ModelConfig
+from rerevst_tpu.models import vgg
+from rerevst_tpu.models.layers import (
+    apply_dynamic_filter,
+    apply_dynamic_filter_3x3,
+    conv2d,
+    init_conv_normal,
+    init_linear_normal,
+    leaky_relu,
+    linear,
+    precision_for,
+)
+from rerevst_tpu.ops.image import rgb_to_luma_reversed
+from rerevst_tpu.ops.resize import upsample_nearest_2x
+from rerevst_tpu.ops.stats import channel_minmax, instance_moments, mean_std
+
+
+# ---------------------------------------------------------------------------
+# Conditioning state pytrees
+# ---------------------------------------------------------------------------
+
+class StyleFeatures(NamedTuple):
+    """EncoderStyle output (``test/style_network_global.py:317-331``).
+
+    `map` is the raw relu4_1 feature map; `means`/`stds` are the per-tap
+    (relu1_1..relu4_1) channel statistics, each [N,1,1,C].
+    """
+    map: jnp.ndarray
+    means: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    stds: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+class NormStats(NamedTuple):
+    """Frozen global InstanceNorm state (``test/style_network_global.py:59-77``)."""
+    mean: jnp.ndarray   # [1,1,1,C]
+    rstd: jnp.ndarray   # [1,1,1,C]
+    xmin: jnp.ndarray   # [1,1,1,C] — extrema of the *normalized* activations
+    xmax: jnp.ndarray
+
+
+class SeqStats(NamedTuple):
+    """Per-(sequence, style) frozen decoder state.
+
+    norms keys: 'pre' (pre-filter norm site), 'ada4'..'ada1' (AdaIN sites by
+    relu level), 'res{4,3,2}{a,b}' (residual-block norms).
+    filters keys: 'f{1,2,3}{a,b}' — the six predicted 1x1 filter matrices,
+    each [1,P,Q].
+    """
+    norms: Dict[str, NormStats]
+    filters: Dict[str, jnp.ndarray]
+
+
+def blend_pytrees(trees: Sequence, weights: Sequence[float]):
+    """Weighted sum of identically-structured pytrees (multi-style blending)."""
+    def combine(*leaves):
+        out = leaves[0] * weights[0]
+        for leaf, w in zip(leaves[1:], weights[1:]):
+            out = out + leaf * w
+        return out
+    return jax.tree.map(combine, *trees)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _init_predictor(key, cfg: ModelConfig, style_only: bool):
+    kd, kf = jax.random.split(key)
+    ic, vc = cfg.filter_channels, cfg.vgg_channels
+    if style_only:
+        # FilterPredictor_S: FC(ic -> 9*ic*ic) (train/style_networks.py:191-206)
+        fc = init_linear_normal(kf, ic, 9 * ic * ic, dtype=cfg.dtype)
+    else:
+        # FilterPredictor: FC(2*ic -> ic*ic) (train/style_networks.py:129-145)
+        fc = init_linear_normal(kf, 2 * ic, ic * ic, dtype=cfg.dtype)
+    return {
+        "down": init_conv_normal(kd, 3, 3, vc, ic, dtype=cfg.dtype),
+        "fc": fc,
+    }
+
+
+def _init_kernel_filter(key, cfg: ModelConfig):
+    kd, ku, k1, k2 = jax.random.split(key, 4)
+    ic, vc = cfg.filter_channels, cfg.vgg_channels
+    style_only = not cfg.both_sty_con
+    return {
+        "down": init_conv_normal(kd, 3, 3, vc, ic, dtype=cfg.dtype),
+        "up": init_conv_normal(ku, 3, 3, ic, vc, dtype=cfg.dtype),
+        "p1": _init_predictor(k1, cfg, style_only),
+        "p2": _init_predictor(k2, cfg, style_only),
+    }
+
+
+def _init_resblock(key, cin: int, cout: int, dtype):
+    k1, k2, ks = jax.random.split(key, 3)
+    return {
+        "conv1": init_conv_normal(k1, 3, 3, cin, cout, dtype=dtype),
+        "conv2": init_conv_normal(k2, 3, 3, cout, cout, dtype=dtype),
+        "shortcut": init_conv_normal(ks, 1, 1, cin, cout, bias=False, dtype=dtype),
+    }
+
+
+def init_decoder_params(key, cfg: ModelConfig) -> Dict:
+    k4, k3, k2, ko, kf1, kf2, kf3 = jax.random.split(key, 7)
+    params = {
+        "res4": _init_resblock(k4, 512, 256, cfg.dtype),
+        "res3": _init_resblock(k3, 256, 128, cfg.dtype),
+        "res2": _init_resblock(k2, 128, 64, cfg.dtype),
+        "out": init_conv_normal(ko, 3, 3, 64, 3, dtype=cfg.dtype),
+    }
+    if cfg.dynamic_filter:
+        params["filter1"] = _init_kernel_filter(kf1, cfg)
+        params["filter2"] = _init_kernel_filter(kf2, cfg)
+        params["filter3"] = _init_kernel_filter(kf3, cfg)
+    return params
+
+
+def init_transformer_params(key, cfg: ModelConfig, with_loss_net: bool = True) -> Dict:
+    ke, ks, kv, kd = jax.random.split(key, 4)
+    params = {
+        "encoder": vgg.init_vgg_params(ke, cfg.dtype),
+        "encoder_style": vgg.init_vgg_params(ks, cfg.dtype),
+        "decoder": init_decoder_params(kd, cfg),
+    }
+    if with_loss_net:
+        # Frozen loss network (deleted after style prep at inference,
+        # test/style_network_global.py:465-469).
+        params["vgg_loss"] = vgg.init_vgg_params(kv, cfg.dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encoders
+# ---------------------------------------------------------------------------
+
+def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = True):
+    """Content branch: optional reversed-luma desaturation, then VGG->relu4_1.
+
+    Inference always desaturates (``test/style_network_global.py:499-501``);
+    the training forward encodes the color content
+    (``train/style_networks.py:570``) — pass desaturate=False there.
+    """
+    x = rgb_to_luma_reversed(frame) if desaturate else frame
+    return vgg.encode(params["encoder"], x.astype(cfg.dtype),
+                      precision=precision_for(cfg.dtype))
+
+
+def encode_style(params: Dict, style, cfg: ModelConfig) -> StyleFeatures:
+    """EncoderStyle: per-tap (mean, std) + raw relu4_1 map."""
+    feats = vgg.vgg_features(params["encoder_style"], style.astype(cfg.dtype),
+                             "relu4_1", precision=precision_for(cfg.dtype))
+    means, stds = [], []
+    for tap in feats:
+        m, s = mean_std(tap, eps=cfg.mean_std_eps)
+        means.append(m)
+        stds.append(s)
+    return StyleFeatures(feats.relu4_1, tuple(means), tuple(stds))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks — per-frame (stateless) graph
+# ---------------------------------------------------------------------------
+
+def _instance_norm(x, eps):
+    mean, rstd = instance_moments(x, (1, 2), eps)
+    return ((x.astype(jnp.float32) - mean) * rstd).astype(x.dtype)
+
+
+def _predict_filter(p, content, style_map, cfg: ModelConfig):
+    """FilterPredictor.forward (``train/style_networks.py:136-145``)."""
+    prec = precision_for(cfg.dtype)
+    pc = jnp.mean(conv2d(p["down"], content, padding=1, precision=prec), (1, 2))
+    ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
+    if ps.shape[0] == 1 and pc.shape[0] != 1:
+        ps = jnp.broadcast_to(ps, pc.shape)
+    f = linear(p["fc"], jnp.concatenate([pc, ps], axis=1), precision=prec)
+    ic = cfg.filter_channels
+    return f.reshape(-1, ic, ic)
+
+
+def _predict_filter_s(p, style_map, cfg: ModelConfig):
+    """FilterPredictor_S.forward (``train/style_networks.py:200-206``)."""
+    prec = precision_for(cfg.dtype)
+    ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
+    f = linear(p["fc"], ps, precision=prec)
+    ic = cfg.filter_channels
+    return f.reshape(-1, ic, ic, 3, 3)
+
+
+def _kernel_filter(p, content, style_map, cfg: ModelConfig):
+    """KernelFilter.forward (``train/style_networks.py:180-188``)."""
+    prec = precision_for(cfg.dtype)
+    h = conv2d(p["down"], content, padding=1, precision=prec)
+    if cfg.both_sty_con:
+        h = apply_dynamic_filter(h, _predict_filter(p["p1"], content, style_map, cfg), prec)
+        h = leaky_relu(h)
+        h = apply_dynamic_filter(h, _predict_filter(p["p2"], content, style_map, cfg), prec)
+    else:
+        h = apply_dynamic_filter_3x3(h, _predict_filter_s(p["p1"], style_map, cfg), prec)
+        h = leaky_relu(h)
+        h = apply_dynamic_filter_3x3(h, _predict_filter_s(p["p2"], style_map, cfg), prec)
+    return content + conv2d(p["up"], h, padding=1, precision=prec)
+
+
+def _resblock(p, x, cfg: ModelConfig, upsample: bool = True):
+    """ResidualBlock.forward, stateless norms (``train/style_networks.py:262-274``)."""
+    prec = precision_for(cfg.dtype)
+    if upsample:
+        x = upsample_nearest_2x(x)
+    xs = conv2d(p["shortcut"], x, padding=0, precision=prec)
+    h = conv2d(p["conv1"], x, padding=1, precision=prec)
+    h = _instance_norm(leaky_relu(h), cfg.norm_eps)
+    h = conv2d(p["conv2"], h, padding=1, precision=prec)
+    h = _instance_norm(leaky_relu(h), cfg.norm_eps)
+    return xs + h
+
+
+def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
+    """Per-frame / training decoder graph (``train/style_networks.py:426-443``).
+
+    AdaIN_filter re-applies the relu4_1 style affine after the filter chain
+    (``train/style_networks.py:411-424``); no extra norm site exists between
+    the filters and res4 (unlike the global graph).
+    """
+    prec = precision_for(cfg.dtype)
+    m1, m2, m3, m4 = style.means
+    s1, s2, s3, s4 = style.stds
+
+    def adain(h, m, s):
+        return _instance_norm(h, cfg.norm_eps) * s + m
+
+    if cfg.dynamic_filter:
+        nc = _instance_norm(x, cfg.norm_eps)
+        ns = (style.map - m4) / s4
+        h = _kernel_filter(params_dec["filter1"], nc, ns, cfg)
+        h = _kernel_filter(params_dec["filter2"], h, ns, cfg)
+        h = _kernel_filter(params_dec["filter3"], h, ns, cfg)
+        h = h * s4 + m4
+    else:
+        h = adain(x, m4, s4)
+
+    h = _resblock(params_dec["res4"], h, cfg)
+    h = adain(h, m3, s3)
+    h = _resblock(params_dec["res3"], h, cfg)
+    h = adain(h, m2, s2)
+    h = _resblock(params_dec["res2"], h, cfg)
+    h = adain(h, m1, s1)
+    return conv2d(params_dec["out"], h, padding=1, precision=prec)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks — global (frozen statistics) graph
+# ---------------------------------------------------------------------------
+
+def _norm_apply(st: NormStats, x):
+    """Frozen-stats normalize + clamp (``test/style_network_global.py:43-57``)."""
+    xf = x.astype(jnp.float32)
+    xf = (xf - st.mean) * st.rstd
+    xf = jnp.clip(xf, st.xmin, st.xmax)
+    return xf.astype(x.dtype)
+
+
+def _kernel_filter_frozen(p, content, fa, fb, cfg: ModelConfig):
+    """KernelFilter.forward with frozen filters
+    (``test/style_network_global.py:210-217``)."""
+    prec = precision_for(cfg.dtype)
+    h = conv2d(p["down"], content, padding=1, precision=prec)
+    h = apply_dynamic_filter(h, fa, prec)
+    h = leaky_relu(h)
+    h = apply_dynamic_filter(h, fb, prec)
+    return content + conv2d(p["up"], h, padding=1, precision=prec)
+
+
+def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
+    """ResidualBlock.forward with frozen norms
+    (``test/style_network_global.py:111-122``)."""
+    prec = precision_for(cfg.dtype)
+    x = upsample_nearest_2x(x)
+    xs = conv2d(p["shortcut"], x, padding=0, precision=prec)
+    h = conv2d(p["conv1"], x, padding=1, precision=prec)
+    h = _norm_apply(sa, leaky_relu(h))
+    h = conv2d(p["conv2"], h, padding=1, precision=prec)
+    h = _norm_apply(sb, leaky_relu(h))
+    return xs + h
+
+
+def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
+                  cfg: ModelConfig):
+    """Global decoder graph (``test/style_network_global.py:441-451``).
+
+    Differences vs ``decode``: every norm uses frozen sequence statistics with
+    min/max clamping; the filter chain's output is re-normalized at an extra
+    site ('ada4') before the style affine; filters come frozen from `stats`.
+    """
+    prec = precision_for(cfg.dtype)
+    m1, m2, m3, m4 = style.means
+    s1, s2, s3, s4 = style.stds
+    norms, filt = stats.norms, stats.filters
+
+    h = _norm_apply(norms["pre"], x)
+    ns = (style.map - m4) / s4
+    del ns  # style map already folded into the frozen filters
+    h = _kernel_filter_frozen(params_dec["filter1"], h, filt["f1a"], filt["f1b"], cfg)
+    h = _kernel_filter_frozen(params_dec["filter2"], h, filt["f2a"], filt["f2b"], cfg)
+    h = _kernel_filter_frozen(params_dec["filter3"], h, filt["f3a"], filt["f3b"], cfg)
+
+    h = _norm_apply(norms["ada4"], h) * s4 + m4
+    h = _resblock_global(params_dec["res4"], h, norms["res4a"], norms["res4b"], cfg)
+    h = _norm_apply(norms["ada3"], h) * s3 + m3
+    h = _resblock_global(params_dec["res3"], h, norms["res3a"], norms["res3b"], cfg)
+    h = _norm_apply(norms["ada2"], h) * s2 + m2
+    h = _resblock_global(params_dec["res2"], h, norms["res2a"], norms["res2b"], cfg)
+    h = _norm_apply(norms["ada1"], h) * s1 + m1
+    return conv2d(params_dec["out"], h, padding=1, precision=prec)
+
+
+# ---------------------------------------------------------------------------
+# Global statistics collection (Pass 1)
+# ---------------------------------------------------------------------------
+
+def _norm_compute(x, eps, reduce_fns=None):
+    """InstanceNorm.compute (``test/style_network_global.py:59-77``).
+
+    Returns (normalized batch, NormStats).  Moments/extrema reduce over
+    (N,H,W); `reduce_fns` optionally supplies cross-device (psum, pmin, pmax)
+    wrappers so the same code serves single-chip and sharded collection.
+    """
+    xf = x.astype(jnp.float32)
+    if reduce_fns is None:
+        mean, rstd = instance_moments(xf, (0, 1, 2), eps)
+        xn = (xf - mean) * rstd
+        xmin, xmax = channel_minmax(xn, (0, 1, 2))
+    else:
+        psum, pmin, pmax = reduce_fns
+        n_local = xf.shape[0] * xf.shape[1] * xf.shape[2]
+        cnt = psum(jnp.asarray(float(n_local), jnp.float32))
+        s = psum(jnp.sum(xf, (0, 1, 2), keepdims=True))
+        ss = psum(jnp.sum(jnp.square(xf), (0, 1, 2), keepdims=True))
+        mean = s / cnt
+        var = jnp.maximum(ss / cnt - jnp.square(mean), 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        xn = (xf - mean) * rstd
+        xmin = pmin(jnp.min(xn, (0, 1, 2), keepdims=True))
+        xmax = pmax(jnp.max(xn, (0, 1, 2), keepdims=True))
+    st = NormStats(mean, rstd, xmin, xmax)
+    return xn.astype(x.dtype), st
+
+
+def _filter_compute(p, content_batch, style_map, cfg: ModelConfig, psum=None):
+    """FilterPredictor.compute (``test/style_network_global.py:161-172``):
+    content pooled over the whole sampled batch -> one filter per sequence."""
+    prec = precision_for(cfg.dtype)
+    pc = jnp.mean(conv2d(p["down"], content_batch, padding=1, precision=prec), (1, 2))
+    if psum is None:
+        pc = jnp.mean(pc, axis=0, keepdims=True)
+    else:
+        cnt = psum(jnp.asarray(float(pc.shape[0]), jnp.float32))
+        pc = psum(jnp.sum(pc, axis=0, keepdims=True)) / cnt
+    ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
+    f = linear(p["fc"], jnp.concatenate([pc, ps], axis=1), precision=prec)
+    ic = cfg.filter_channels
+    return f.reshape(-1, ic, ic)
+
+
+def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
+                  reduce_fns=None) -> SeqStats:
+    """Decoder.compute — run the global graph over the sampled-frame batch,
+    freezing every norm/filter state (``test/style_network_global.py:425-439``).
+
+    `x` is the batched content features [N, H/8, W/8, 512].  With `reduce_fns`
+    = (psum, pmin, pmax) the same code runs under ``shard_map`` with the N
+    axis sharded across devices (the TPU equivalent of the reference's
+    disk-spill long-sequence path, ``test/style_network.py:540-574``).
+    """
+    cfgN = cfg.norm_eps
+    psum = reduce_fns[0] if reduce_fns is not None else None
+    norms: Dict[str, NormStats] = {}
+    filters: Dict[str, jnp.ndarray] = {}
+    m1, m2, m3, m4 = style.means
+    s1, s2, s3, s4 = style.stds
+
+    h, norms["pre"] = _norm_compute(x, cfgN, reduce_fns)
+    ns = (style.map - m4) / s4
+    prec = precision_for(cfg.dtype)
+
+    for i, name in ((1, "filter1"), (2, "filter2"), (3, "filter3")):
+        p = params_dec[name]
+        inner = conv2d(p["down"], h, padding=1, precision=prec)
+        fa = _filter_compute(p["p1"], h, ns, cfg, psum)
+        filters[f"f{i}a"] = fa
+        inner = leaky_relu(apply_dynamic_filter(inner, fa, prec))
+        fb = _filter_compute(p["p2"], h, ns, cfg, psum)
+        filters[f"f{i}b"] = fb
+        inner = apply_dynamic_filter(inner, fb, prec)
+        h = h + conv2d(p["up"], inner, padding=1, precision=prec)
+
+    def ada_compute(h, key, m, s):
+        hn, norms[key] = _norm_compute(h, cfgN, reduce_fns)
+        return hn * s + m
+
+    def res_compute(h, p, ka, kb):
+        h = upsample_nearest_2x(h)
+        xs = conv2d(p["shortcut"], h, padding=0, precision=prec)
+        t = conv2d(p["conv1"], h, padding=1, precision=prec)
+        t, norms[ka] = _norm_compute(leaky_relu(t), cfgN, reduce_fns)
+        t = conv2d(p["conv2"], t, padding=1, precision=prec)
+        t, norms[kb] = _norm_compute(leaky_relu(t), cfgN, reduce_fns)
+        return xs + t
+
+    h = ada_compute(h, "ada4", m4, s4)
+    h = res_compute(h, params_dec["res4"], "res4a", "res4b")
+    h = ada_compute(h, "ada3", m3, s3)
+    h = res_compute(h, params_dec["res3"], "res3a", "res3b")
+    h = ada_compute(h, "ada2", m2, s2)
+    h = res_compute(h, params_dec["res2"], "res2a", "res2b")
+    ada_compute(h, "ada1", m1, s1)  # freezes 'ada1'; output discarded
+
+    return SeqStats(norms, filters)
+
+
+# ---------------------------------------------------------------------------
+# Convenience wrapper
+# ---------------------------------------------------------------------------
+
+class TransformerNet:
+    """Thin stateless namespace: config + pure functions over param pytrees."""
+
+    def __init__(self, cfg: Optional[ModelConfig] = None):
+        self.cfg = cfg or ModelConfig()
+
+    def init_params(self, key, with_loss_net: bool = True) -> Dict:
+        return init_transformer_params(key, self.cfg, with_loss_net)
+
+    def encode_content(self, params, frame, desaturate: bool = True):
+        return encode_content(params, frame, self.cfg, desaturate)
+
+    def encode_style(self, params, style) -> StyleFeatures:
+        return encode_style(params, style, self.cfg)
+
+    def stylize(self, params, frame, style: StyleFeatures,
+                stats: Optional[SeqStats] = None):
+        """Full forward: desaturate -> encode -> decode (global iff stats)."""
+        f = encode_content(params, frame, self.cfg, desaturate=True)
+        if stats is None:
+            return decode(params["decoder"], f, style, self.cfg)
+        return decode_global(params["decoder"], f, style, stats, self.cfg)
+
+    def collect(self, params, content_feats, style: StyleFeatures,
+                reduce_fns=None) -> SeqStats:
+        return collect_stats(params["decoder"], content_feats, style, self.cfg,
+                             reduce_fns)
+
+    def validation(self, params, frame, style_img):
+        """Training-time validation pass: color content, per-frame graph
+        (``train/style_networks.py:556-559``)."""
+        f = encode_content(params, frame, self.cfg, desaturate=False)
+        sf = encode_style(params, style_img, self.cfg)
+        return decode(params["decoder"], f, sf, self.cfg)

@@ -1,0 +1,122 @@
+"""VGG19 feature extractor (first 21 torchvision ``features`` layers).
+
+Three reference networks share this backbone with separate weights:
+the content Encoder (``test/style_network_global.py:271-281``), the style
+EncoderStyle (``:284-331``) and the frozen loss network Vgg19 (``:238-268``).
+Here it is one parameter layout + pure functions; which copy of the weights
+you pass in decides which network you get.
+
+Slice boundaries (torchvision features indices):
+  relu1_1 = [0,2)   conv1_1
+  relu2_1 = [2,7)   conv1_2, pool, conv2_1
+  relu3_1 = [7,12)  conv2_2, pool, conv3_1
+  relu4_1 = [12,21) conv3_2..conv3_4, pool, conv4_1
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rerevst_tpu.models.layers import (
+    conv2d,
+    from_torch_conv,
+    init_conv_torch_default,
+    max_pool_2x2,
+)
+
+#: (name, cin, cout) for the 11 convs through conv4_1, in order.
+VGG_CONVS = (
+    ("conv1_1", 3, 64),
+    ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128),
+    ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256),
+    ("conv3_2", 256, 256),
+    ("conv3_3", 256, 256),
+    ("conv3_4", 256, 256),
+    ("conv4_1", 256, 512),
+)
+
+#: torchvision vgg19.features index of each conv (for checkpoint conversion).
+TORCH_FEATURE_INDEX = {
+    "conv1_1": 0, "conv1_2": 2, "conv2_1": 5, "conv2_2": 7,
+    "conv3_1": 10, "conv3_2": 12, "conv3_3": 14, "conv3_4": 16,
+    "conv4_1": 19,
+}
+
+#: Pool before these convs (torchvision has MaxPool at indices 4, 9, 18).
+_POOL_BEFORE = {"conv2_1", "conv3_1", "conv4_1"}
+
+RELU_TAPS = {
+    "relu1_1": "conv1_1",
+    "relu2_1": "conv2_1",
+    "relu3_1": "conv3_1",
+    "relu4_1": "conv4_1",
+}
+
+
+class VggFeatures(NamedTuple):
+    """The four relu taps used by every loss/encoder in the reference."""
+    relu1_1: jnp.ndarray
+    relu2_1: jnp.ndarray
+    relu3_1: jnp.ndarray
+    relu4_1: jnp.ndarray
+
+
+def init_vgg_params(key, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, len(VGG_CONVS))
+    return {
+        name: init_conv_torch_default(k, 3, 3, cin, cout, dtype=dtype)
+        for k, (name, cin, cout) in zip(keys, VGG_CONVS)
+    }
+
+
+def from_torch_features(state_dict, prefix: str = "", dtype=jnp.float32) -> Dict:
+    """Convert a torchvision ``vgg19().features`` state_dict slice.
+
+    `state_dict` maps e.g. ``{prefix}0.weight`` -> numpy array (torch OIHW).
+    Works for the reference checkpoints' Encoder (``Encoder.slice.<i>``) and
+    the torchvision zoo layout alike.
+    """
+    params = {}
+    for name, idx in TORCH_FEATURE_INDEX.items():
+        wkey = f"{prefix}{idx}.weight"
+        if wkey not in state_dict:
+            continue
+        params[name] = from_torch_conv(
+            state_dict[wkey], state_dict.get(f"{prefix}{idx}.bias"), dtype
+        )
+    return params
+
+
+def vgg_features(params: Dict, x, upto: str = "relu4_1",
+                 precision=None) -> VggFeatures:
+    """Run the backbone, returning all relu taps up to `upto`.
+
+    Missing taps (past `upto`) are None.  relu = plain max(x, 0).
+    """
+    taps = {}
+    h = x
+    for name, _, _ in VGG_CONVS:
+        if name in _POOL_BEFORE:
+            h = max_pool_2x2(h)
+        h = conv2d(params[name], h, padding=1, precision=precision)
+        h = jnp.maximum(h, 0.0)
+        for tap, conv_name in RELU_TAPS.items():
+            if conv_name == name:
+                taps[tap] = h
+        if RELU_TAPS.get(upto) == name:
+            break
+    return VggFeatures(
+        taps.get("relu1_1"), taps.get("relu2_1"),
+        taps.get("relu3_1"), taps.get("relu4_1"),
+    )
+
+
+def encode(params: Dict, x, precision=None) -> jnp.ndarray:
+    """Content encoder: features through relu4_1, final map only
+    (``test/style_network_global.py:271-281``)."""
+    return vgg_features(params, x, "relu4_1", precision).relu4_1

@@ -1,0 +1,111 @@
+"""Image tensor transforms (NHWC, RGB).
+
+Covers the reference's ImageNet normalization helpers
+(``test/framework.py:26-49``), the reversed-channel desaturation quirk
+(``test/style_network_global.py:487-497``), and the reflect-pad/x64 geometry
+tool (``test/generate_real_video.py:61-83``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+#: ImageNet statistics in RGB channel order (``test/framework.py:31-32``).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def normalize(img):
+    """[0,1] RGB NHWC -> ImageNet-normalized.
+
+    Integer inputs are cast to float32 first (integer arithmetic against the
+    float statistics silently produces garbage otherwise).
+    """
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        img = img.astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    std = jnp.asarray(IMAGENET_STD, img.dtype)
+    return (img - mean) / std
+
+
+def denormalize(img):
+    """ImageNet-normalized NHWC -> [0,1] RGB (no clamp)."""
+    mean = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    std = jnp.asarray(IMAGENET_STD, img.dtype)
+    return img * std + mean
+
+
+def rgb_to_luma_reversed(img):
+    """Desaturate a *normalized* image, reproducing the reference quirk.
+
+    The reference applies BT.601 luma weights to an RGB tensor with the
+    coefficient order reversed — 0.299 lands on blue and 0.114 on red
+    (``test/style_network_global.py:487-497``; identical in
+    ``train/style_networks.py:518-529``).  The released model was trained with
+    this, so checkpoint parity requires it bit-for-bit:
+
+        gray = B*0.299 + G*0.587 + R*0.114
+
+    Input/output are ImageNet-normalized NHWC; the gray value is broadcast to
+    all three channels and re-normalized.
+    """
+    rgb = denormalize(img)
+    # NHWC channel order is R,G,B — weights deliberately reversed.
+    gray = (
+        rgb[..., 2:3] * 0.299 + rgb[..., 1:2] * 0.587 + rgb[..., 0:1] * 0.114
+    )
+    gray3 = jnp.broadcast_to(gray, rgb.shape)
+    return normalize(gray3)
+
+
+def padded_size(h: int, w: int, pad: int = 64, granularity: int = 64) -> Tuple[int, int]:
+    """Target (H, W) after reflect-padding: +2*pad then round up to a multiple.
+
+    Mirrors ReshapeTool (``test/generate_real_video.py:66-83``): new_H = H+128
+    rounded up to a multiple of 64.  The padded size is fixed after the first
+    frame so every frame compiles to the same XLA program.
+    """
+    new_h = h + 2 * pad
+    if new_h % granularity != 0:
+        new_h += granularity - new_h % granularity
+    new_w = w + 2 * pad
+    if new_w % granularity != 0:
+        new_w += granularity - new_w % granularity
+    return new_h, new_w
+
+
+def pad_reflect_multiple(img, pad: int = 64, granularity: int = 64,
+                         target_hw: Tuple[int, int] | None = None):
+    """Reflect-pad NHWC to the padded size (edge-inclusive reflection).
+
+    cv2.BORDER_REFLECT (``test/generate_real_video.py:81-82``) duplicates the
+    edge pixel — numpy/jnp mode='symmetric', NOT mode='reflect'.
+    """
+    n, h, w, c = img.shape
+    if target_hw is None:
+        target_hw = padded_size(h, w, pad, granularity)
+    th, tw = target_hw
+    return jnp.pad(
+        img,
+        ((0, 0), (pad, th - pad - h), (pad, tw - pad - w), (0, 0)),
+        mode="symmetric",
+    )
+
+
+def crop_back(img, orig_h: int, orig_w: int, pad: int = 64):
+    """Undo pad_reflect_multiple (``test/generate_real_video.py:167``)."""
+    return img[:, pad : pad + orig_h, pad : pad + orig_w, :]
+
+
+def to_uint8(img):
+    """Normalized NHWC -> uint8 RGB (clamped), for writing out frames.
+
+    Matches transform_back_image (``test/framework.py:44-49``): denormalize,
+    clamp to [0,1], scale by 255.  PyTorch then float->uint8 casts (truncates)
+    in cv2.imwrite; we round-trip via clipping and truncation the same way.
+    """
+    x = jnp.clip(denormalize(img), 0.0, 1.0) * 255.0
+    return x.astype(jnp.uint8)

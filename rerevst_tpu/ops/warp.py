@@ -1,0 +1,101 @@
+"""Backward warping via grid sampling (NHWC).
+
+JAX re-implementation of torch ``F.grid_sample`` (border padding, bilinear and
+nearest, align_corners=False — the default that actually executes in the
+reference) plus the reference's flow-warp wrapper:
+
+* bilinear flow warp used by the relaxed style loss
+  (``train/style_networks.py:27-44``),
+* nearest flow warp used by the Compound Regularization temporal loss
+  (``train/loss_networks.py:20-38``).
+
+The gather is expressed with ``jnp.take_along_axis`` over flattened spatial
+indices, which XLA lowers to a single fused gather on TPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """Map normalized coords [-1, 1] to pixel positions, torch semantics."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _gather_2d(x, iy, ix):
+    """out[n, p, q, c] = x[n, iy[n,p,q], ix[n,p,q], c] (indices pre-clipped)."""
+    n, h, w, c = x.shape
+    flat = x.reshape(n, h * w, c)
+    idx = (iy * w + ix).reshape(n, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(n, iy.shape[1], iy.shape[2], c)
+
+
+def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "border",
+                align_corners: bool = False):
+    """Sample NHWC `x` at normalized locations `grid` [N, Ho, Wo, 2] (x, y).
+
+    Only padding_mode='border' is implemented — the sole mode the reference
+    uses (``train/style_networks.py:27``, ``train/loss_networks.py:20``).
+    """
+    if padding_mode != "border":
+        raise NotImplementedError("only border padding is supported")
+    n, h, w, c = x.shape
+    gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)
+    # Border padding clips the sampling coordinate into the image.
+    gx = jnp.clip(gx, 0.0, w - 1)
+    gy = jnp.clip(gy, 0.0, h - 1)
+
+    if mode == "nearest":
+        # torch uses std::nearbyint (round-half-to-even), as does jnp.round.
+        ix = jnp.round(gx).astype(jnp.int32)
+        iy = jnp.round(gy).astype(jnp.int32)
+        return _gather_2d(x, iy, ix)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"mode {mode!r}")
+
+    ix0 = jnp.floor(gx).astype(jnp.int32)
+    iy0 = jnp.floor(gy).astype(jnp.int32)
+    ix1 = jnp.clip(ix0 + 1, 0, w - 1)
+    iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+    ix0 = jnp.clip(ix0, 0, w - 1)
+    iy0 = jnp.clip(iy0, 0, h - 1)
+
+    fx = (gx - ix0)[..., None]
+    fy = (gy - iy0)[..., None]
+
+    v00 = _gather_2d(x, iy0, ix0)
+    v01 = _gather_2d(x, iy0, ix1)
+    v10 = _gather_2d(x, iy1, ix0)
+    v11 = _gather_2d(x, iy1, ix1)
+
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = top * (1.0 - fy) + bot * fy
+    return out.astype(x.dtype)
+
+
+def flow_warp(x, flow, mode: str = "bilinear"):
+    """Backward-warp NHWC `x` by a pixel-space `flow` [N, H, W, 2] (dx, dy).
+
+    Reproduces the reference warp exactly (``train/style_networks.py:27-44``):
+    sample position = grid - flow, normalized by 2/max(dim-1, 1) - 1, then
+    grid-sampled with border padding and torch-default align_corners=False.
+    (The /(dim-1) normalization combined with align_corners=False introduces a
+    slight edge-dependent offset; it is part of reference behavior.)
+    """
+    n, h, w, _ = x.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    vx = xs - flow[..., 0].astype(jnp.float32)
+    vy = ys - flow[..., 1].astype(jnp.float32)
+    gx = 2.0 * vx / max(w - 1, 1) - 1.0
+    gy = 2.0 * vy / max(h - 1, 1) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)
+    return grid_sample(x, grid, mode=mode, padding_mode="border",
+                       align_corners=False)
