@@ -1,0 +1,187 @@
+"""Session API: stateful wrapper over the pure-functional model.
+
+Drop-in equivalent of the reference's ``framework.Stylization``
+(``test/framework.py:56-118``) — same method surface
+(``prepare_style`` / ``clean`` / ``add`` / ``compute`` / ``transfer``) — plus
+a batched ``stylize_video`` fast path that keeps whole frame batches on
+device (the reference round-trips host<->device per frame,
+``test/framework.py:106-118``).
+
+All compute methods are jitted once per (shape, config); geometry is fixed
+after the first frame exactly like the reference's ReshapeTool
+(``test/generate_real_video.py:61-83``), so the hot loop never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rerevst_tpu.config import InferenceConfig, ModelConfig
+from rerevst_tpu.data.transforms import bgr_to_model, model_to_bgr
+from rerevst_tpu.io.torch_compat import load_reference_checkpoint
+from rerevst_tpu.models.transformer import (
+    SeqStats,
+    StyleFeatures,
+    TransformerNet,
+    blend_pytrees,
+    collect_stats,
+    decode,
+    decode_global,
+    encode_content,
+    encode_style,
+)
+from rerevst_tpu.ops.image import crop_back, pad_reflect_multiple, padded_size
+
+
+class Stylization:
+    """Video stylization session.
+
+    Parameters
+    ----------
+    checkpoint:
+        Path to a reference ``.pth`` checkpoint (converted on load) or a
+        native ``.msgpack`` checkpoint, or None when `params` given.
+    use_global:
+        Sequence-level global feature sharing (two-pass) vs per-frame mode —
+        the reference's import-time dispatch (``test/framework.py:69-72``)
+        becomes a runtime flag.
+    """
+
+    def __init__(self, checkpoint: Optional[str] = None, params=None,
+                 cfg: Optional[ModelConfig] = None, use_global: bool = True,
+                 infer: Optional[InferenceConfig] = None):
+        self.cfg = cfg or ModelConfig()
+        self.infer = infer or InferenceConfig(use_global=use_global)
+        self.use_global = use_global
+        self.net = TransformerNet(self.cfg)
+        if params is None:
+            if checkpoint is None:
+                raise ValueError("need checkpoint or params")
+            if checkpoint.endswith(".pth"):
+                params = load_reference_checkpoint(checkpoint)
+            else:
+                from rerevst_tpu.io.checkpoint import load_params
+
+                params = load_params(checkpoint)
+        # Inference never needs the loss net ("del self.Vgg19" analog,
+        # test/style_network_global.py:465-469).
+        params = {k: v for k, v in params.items() if k != "vgg_loss"}
+        self.params = jax.device_put(params)
+
+        self.style: Optional[StyleFeatures] = None
+        self.stats: Optional[SeqStats] = None
+        self._patches: List[jnp.ndarray] = []
+        self._pad_hw = None
+
+        cfg_ = self.cfg
+        self._encode_style = jax.jit(
+            lambda p, s: encode_style(p, s, cfg_))
+        self._encode_content = jax.jit(
+            lambda p, f: encode_content(p, f, cfg_, desaturate=True))
+        self._collect = jax.jit(
+            lambda p, x, sf: collect_stats(p["decoder"], x, sf, cfg_))
+        self._stylize_global = jax.jit(
+            lambda p, f, sf, st: decode_global(
+                p["decoder"], encode_content(p, f, cfg_, True), sf, st, cfg_))
+        self._stylize_frame = jax.jit(
+            lambda p, f, sf: decode(
+                p["decoder"], encode_content(p, f, cfg_, True), sf, cfg_))
+
+    # ------------------------------------------------------------------
+    # Geometry (ReshapeTool contract: fixed after first frame)
+    # ------------------------------------------------------------------
+
+    def _prep(self, frame_bgr: np.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(bgr_to_model(frame_bgr))
+        h, w = frame_bgr.shape[:2]
+        if self._pad_hw is None:
+            self._pad_hw = padded_size(h, w, self.infer.pad,
+                                       self.infer.granularity)
+            self._orig_hw = (h, w)
+        return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
+                                    self._pad_hw)
+
+    # ------------------------------------------------------------------
+    # Reference-compatible surface
+    # ------------------------------------------------------------------
+
+    def prepare_style(self, style_bgr: np.ndarray) -> None:
+        self.style = self._encode_style(self.params,
+                                        jnp.asarray(bgr_to_model(style_bgr)))
+
+    def clean(self) -> None:
+        self._patches = []
+        self.stats = None
+
+    def add(self, frame_bgr: np.ndarray) -> None:
+        """Pass 1: encode a sampled frame and buffer its features."""
+        self._patches.append(
+            self._encode_content(self.params, self._prep(frame_bgr)))
+
+    def compute(self) -> None:
+        """Pass 1 finish: freeze sequence statistics over buffered frames."""
+        if self.style is None:
+            raise RuntimeError("prepare_style first")
+        feats = jnp.concatenate(self._patches, axis=0)
+        self.stats = self._collect(self.params, feats, self.style)
+        self._patches = []
+
+    def transfer(self, frame_bgr: np.ndarray) -> np.ndarray:
+        """Pass 2 (hot loop): stylize one frame, return BGR uint8."""
+        x = self._prep(frame_bgr)
+        out = self._stylize(x)
+        h, w = frame_bgr.shape[:2]
+        out = crop_back(out, h, w, self.infer.pad)
+        return model_to_bgr(np.asarray(out))
+
+    # ------------------------------------------------------------------
+    # Batched fast path
+    # ------------------------------------------------------------------
+
+    def _stylize(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_global:
+            if self.stats is None:
+                raise RuntimeError("compute() first (or use_global=False)")
+            return self._stylize_global(self.params, x, self.style, self.stats)
+        if self.style is None:
+            raise RuntimeError("prepare_style first")
+        return self._stylize_frame(self.params, x, self.style)
+
+    def prepare_global(self, frames_bgr: Sequence[np.ndarray]) -> None:
+        """Pass 1 in one shot over pre-sampled frames (batched add+compute)."""
+        self.clean()
+        batch = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
+        feats = self._encode_content(self.params, batch)
+        self.stats = self._collect(self.params, feats, self.style)
+
+    def stylize_video(self, frames_bgr: Sequence[np.ndarray],
+                      batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
+        """Full pipeline over a frame list: Pass 1 sampling + batched Pass 2.
+
+        Sampling follows the reference: every `interval`-th frame plus the
+        last (``test/generate_real_video.py:129-148``).
+        """
+        n = len(frames_bgr)
+        bs = batch_size or self.infer.batch_size
+        if self.use_global:
+            interval = self.infer.sample_interval
+            idx = list(range(0, max(n - 1, 1), interval))
+            sampled = [frames_bgr[i] for i in idx] + [frames_bgr[-1]]
+            self.prepare_global(sampled)
+
+        h, w = frames_bgr[0].shape[:2]
+        for start in range(0, n, bs):
+            chunk = frames_bgr[start : start + bs]
+            x = jnp.concatenate([self._prep(f) for f in chunk], axis=0)
+            if x.shape[0] < bs and n > bs:
+                # Keep the jitted shape stable on the ragged tail.
+                reps = bs - x.shape[0]
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], reps, 0)], axis=0)
+            out = np.asarray(crop_back(self._stylize(x), h, w, self.infer.pad))
+            for i in range(len(chunk)):
+                yield model_to_bgr(out[i : i + 1])

@@ -1,0 +1,64 @@
+"""Frame readers / video writer (host side).
+
+Covers the reference driver's IO: glob'd frame reading
+(``test/generate_real_video.py:101-157``) and the MJPG .avi writer
+(``:175-186``).  cv2 is optional at import time so the compute path stays
+usable in cv2-free environments.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+def _cv2():
+    import cv2
+
+    return cv2
+
+
+def list_frames(pattern: str) -> List[str]:
+    files = glob.glob(pattern)
+    files.sort()
+    return files
+
+
+def read_frame(path: str) -> np.ndarray:
+    """BGR uint8 HWC, like the reference's read_img."""
+    img = _cv2().imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
+def iter_frames(pattern: str) -> Iterator[np.ndarray]:
+    for p in list_frames(pattern):
+        yield read_frame(p)
+
+
+def write_frame(path: str, img_bgr: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    _cv2().imwrite(path, img_bgr)
+
+
+def write_video(path: str, frames_bgr, fps: int = 24,
+                codec: str = "MJPG") -> None:
+    """Write BGR uint8 frames to a video file (MJPG .avi @ 24fps default,
+    matching ``test/generate_real_video.py:180-182``)."""
+    cv2 = _cv2()
+    it = iter(frames_bgr)
+    first = next(it)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*codec)
+    writer = cv2.VideoWriter(path, fourcc, fps,
+                             (first.shape[1], first.shape[0]))
+    try:
+        writer.write(first)
+        for f in it:
+            writer.write(f)
+    finally:
+        writer.release()

@@ -355,44 +355,58 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
 # Global statistics collection (Pass 1)
 # ---------------------------------------------------------------------------
 
-def _norm_compute(x, eps, reduce_fns=None):
+def _norm_compute(x, eps, reduce_fns=None, mask=None):
     """InstanceNorm.compute (``test/style_network_global.py:59-77``).
 
     Returns (normalized batch, NormStats).  Moments/extrema reduce over
     (N,H,W); `reduce_fns` optionally supplies cross-device (psum, pmin, pmax)
     wrappers so the same code serves single-chip and sharded collection.
+    `mask` ([N] float, 1=real frame) makes padded frames (added so the batch
+    divides the device count) statistically invisible — the sharded result is
+    bit-comparable to the unpadded single-chip one.
     """
     xf = x.astype(jnp.float32)
-    if reduce_fns is None:
+    if reduce_fns is None and mask is None:
         mean, rstd = instance_moments(xf, (0, 1, 2), eps)
         xn = (xf - mean) * rstd
         xmin, xmax = channel_minmax(xn, (0, 1, 2))
     else:
-        psum, pmin, pmax = reduce_fns
-        n_local = xf.shape[0] * xf.shape[1] * xf.shape[2]
-        cnt = psum(jnp.asarray(float(n_local), jnp.float32))
-        s = psum(jnp.sum(xf, (0, 1, 2), keepdims=True))
-        ss = psum(jnp.sum(jnp.square(xf), (0, 1, 2), keepdims=True))
+        psum, pmin, pmax = reduce_fns or (lambda v: v,) * 3
+        hw = float(xf.shape[1] * xf.shape[2])
+        if mask is None:
+            m = jnp.ones((xf.shape[0], 1, 1, 1), jnp.float32)
+        else:
+            m = mask.reshape(-1, 1, 1, 1).astype(jnp.float32)
+        cnt = psum(jnp.sum(m)) * hw
+        s = psum(jnp.sum(xf * m, (0, 1, 2), keepdims=True))
         mean = s / cnt
-        var = jnp.maximum(ss / cnt - jnp.square(mean), 0.0)
+        # Two-pass variance (sum of squared deviations) like the reference —
+        # immune to the E[x^2]-E[x]^2 cancellation at large activation means.
+        ss = psum(jnp.sum(jnp.square(xf - mean) * m, (0, 1, 2), keepdims=True))
+        var = ss / cnt
         rstd = jax.lax.rsqrt(var + eps)
         xn = (xf - mean) * rstd
-        xmin = pmin(jnp.min(xn, (0, 1, 2), keepdims=True))
-        xmax = pmax(jnp.max(xn, (0, 1, 2), keepdims=True))
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+        xmin = pmin(jnp.min(jnp.where(m > 0, xn, big), (0, 1, 2), keepdims=True))
+        xmax = pmax(jnp.max(jnp.where(m > 0, xn, -big), (0, 1, 2), keepdims=True))
     st = NormStats(mean, rstd, xmin, xmax)
     return xn.astype(x.dtype), st
 
 
-def _filter_compute(p, content_batch, style_map, cfg: ModelConfig, psum=None):
+def _filter_compute(p, content_batch, style_map, cfg: ModelConfig, psum=None,
+                    mask=None):
     """FilterPredictor.compute (``test/style_network_global.py:161-172``):
     content pooled over the whole sampled batch -> one filter per sequence."""
     prec = precision_for(cfg.dtype)
     pc = jnp.mean(conv2d(p["down"], content_batch, padding=1, precision=prec), (1, 2))
-    if psum is None:
+    if psum is None and mask is None:
         pc = jnp.mean(pc, axis=0, keepdims=True)
     else:
-        cnt = psum(jnp.asarray(float(pc.shape[0]), jnp.float32))
-        pc = psum(jnp.sum(pc, axis=0, keepdims=True)) / cnt
+        ps_ = psum or (lambda v: v)
+        m = (jnp.ones((pc.shape[0], 1), jnp.float32) if mask is None
+             else mask.reshape(-1, 1).astype(jnp.float32))
+        cnt = ps_(jnp.sum(m))
+        pc = ps_(jnp.sum(pc * m, axis=0, keepdims=True)) / cnt
     ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
     f = linear(p["fc"], jnp.concatenate([pc, ps], axis=1), precision=prec)
     ic = cfg.filter_channels
@@ -400,7 +414,7 @@ def _filter_compute(p, content_batch, style_map, cfg: ModelConfig, psum=None):
 
 
 def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
-                  reduce_fns=None) -> SeqStats:
+                  reduce_fns=None, mask=None) -> SeqStats:
     """Decoder.compute — run the global graph over the sampled-frame batch,
     freezing every norm/filter state (``test/style_network_global.py:425-439``).
 
@@ -416,32 +430,32 @@ def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
 
-    h, norms["pre"] = _norm_compute(x, cfgN, reduce_fns)
+    h, norms["pre"] = _norm_compute(x, cfgN, reduce_fns, mask)
     ns = (style.map - m4) / s4
     prec = precision_for(cfg.dtype)
 
     for i, name in ((1, "filter1"), (2, "filter2"), (3, "filter3")):
         p = params_dec[name]
         inner = conv2d(p["down"], h, padding=1, precision=prec)
-        fa = _filter_compute(p["p1"], h, ns, cfg, psum)
+        fa = _filter_compute(p["p1"], h, ns, cfg, psum, mask)
         filters[f"f{i}a"] = fa
         inner = leaky_relu(apply_dynamic_filter(inner, fa, prec))
-        fb = _filter_compute(p["p2"], h, ns, cfg, psum)
+        fb = _filter_compute(p["p2"], h, ns, cfg, psum, mask)
         filters[f"f{i}b"] = fb
         inner = apply_dynamic_filter(inner, fb, prec)
         h = h + conv2d(p["up"], inner, padding=1, precision=prec)
 
     def ada_compute(h, key, m, s):
-        hn, norms[key] = _norm_compute(h, cfgN, reduce_fns)
+        hn, norms[key] = _norm_compute(h, cfgN, reduce_fns, mask)
         return hn * s + m
 
     def res_compute(h, p, ka, kb):
         h = upsample_nearest_2x(h)
         xs = conv2d(p["shortcut"], h, padding=0, precision=prec)
         t = conv2d(p["conv1"], h, padding=1, precision=prec)
-        t, norms[ka] = _norm_compute(leaky_relu(t), cfgN, reduce_fns)
+        t, norms[ka] = _norm_compute(leaky_relu(t), cfgN, reduce_fns, mask)
         t = conv2d(p["conv2"], t, padding=1, precision=prec)
-        t, norms[kb] = _norm_compute(leaky_relu(t), cfgN, reduce_fns)
+        t, norms[kb] = _norm_compute(leaky_relu(t), cfgN, reduce_fns, mask)
         return xs + t
 
     h = ada_compute(h, "ada4", m4, s4)

@@ -1,0 +1,128 @@
+"""Multi-style interpolation: blend style-conditioned state across N styles.
+
+Re-designs ``Multi-style Interpolation/`` (test.py / stylization.py /
+style_network.py): where the reference keeps per-style-id Python lists inside
+every module and blends them layer-by-layer at each forward
+(``Multi-style Interpolation/style_network.py:35-53,135-139,348-367``), here
+style conditioning is two pytrees (StyleFeatures, SeqStats) per style and
+blending is one ``jax.tree.map`` weighted sum — after which the ordinary
+global decoder runs unchanged.
+
+The reference's disk cache of per-frame content features
+(``Multi-style Interpolation/test.py:87-98``) becomes an in-memory (or
+device-resident) feature array: encode every frame once, then replay
+decode-only per weight setting.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rerevst_tpu.config import InferenceConfig, ModelConfig
+from rerevst_tpu.data.transforms import bgr_to_model, model_to_bgr
+from rerevst_tpu.io.torch_compat import load_reference_checkpoint
+from rerevst_tpu.models.transformer import (
+    SeqStats,
+    StyleFeatures,
+    blend_pytrees,
+    collect_stats,
+    decode_global,
+    encode_content,
+    encode_style,
+)
+from rerevst_tpu.ops.image import crop_back, pad_reflect_multiple, padded_size
+
+
+class MultiStylization:
+    """Session for N-style blended stylization.
+
+    Mirrors ``Multi-style Interpolation/stylization.py:43-104`` (prepare_style
+    over a style list, content-feature pre-encoding, per-weight transfer) with
+    stateless pytree conditioning.
+    """
+
+    def __init__(self, checkpoint: Optional[str] = None, params=None,
+                 cfg: Optional[ModelConfig] = None,
+                 infer: Optional[InferenceConfig] = None):
+        self.cfg = cfg or ModelConfig()
+        self.infer = infer or InferenceConfig(sample_interval=16)
+        if params is None:
+            params = load_reference_checkpoint(checkpoint)
+        self.params = jax.device_put(
+            {k: v for k, v in params.items() if k != "vgg_loss"})
+        self.styles: List[StyleFeatures] = []
+        self.stats: List[SeqStats] = []
+        self._pad_hw = None
+        cfg_ = self.cfg
+        self._encode_style = jax.jit(lambda p, s: encode_style(p, s, cfg_))
+        self._encode_content = jax.jit(
+            lambda p, f: encode_content(p, f, cfg_, desaturate=True))
+        self._collect = jax.jit(
+            lambda p, x, sf: collect_stats(p["decoder"], x, sf, cfg_))
+
+        def _transfer(p, feats, styles, stats, weights):
+            sf = blend_pytrees(styles, weights)
+            st = blend_pytrees(stats, weights)
+            return decode_global(p["decoder"], feats, sf, st, cfg_)
+
+        self._transfer = jax.jit(_transfer)
+
+    # -- style prep (384x384 resize convention, Multi-style .../test.py:52) --
+
+    def prepare_styles(self, styles_bgr: Sequence[np.ndarray]) -> None:
+        self.styles = [
+            self._encode_style(self.params, jnp.asarray(bgr_to_model(s)))
+            for s in styles_bgr
+        ]
+
+    # -- content features (the reference's cache/%d.pt, in memory) -----------
+
+    def _prep(self, frame_bgr: np.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(bgr_to_model(frame_bgr))
+        h, w = frame_bgr.shape[:2]
+        if self._pad_hw is None:
+            self._pad_hw = padded_size(h, w, self.infer.pad,
+                                       self.infer.granularity)
+            self._orig_hw = (h, w)
+        return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
+                                    self._pad_hw)
+
+    def encode_frames(self, frames_bgr: Sequence[np.ndarray]) -> jnp.ndarray:
+        batch = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
+        return self._encode_content(self.params, batch)
+
+    def prepare_global(self, feats: jnp.ndarray,
+                       interval: Optional[int] = None) -> None:
+        """Freeze per-style SeqStats from sampled cached features
+        (SeqNormPrePare, ``Multi-style Interpolation/test.py:72-85``)."""
+        iv = interval or self.infer.sample_interval
+        n = feats.shape[0]
+        idx = list(range(0, n - 1, iv)) + [n - 1]
+        sampled = feats[jnp.asarray(idx)]
+        self.stats = [
+            self._collect(self.params, sampled, sf) for sf in self.styles
+        ]
+
+    # -- per-weight decode ---------------------------------------------------
+
+    def transfer(self, feats_one: jnp.ndarray,
+                 weights: Sequence[float]) -> np.ndarray:
+        """Decode one frame's cached features under blended styles -> BGR."""
+        w = [jnp.asarray(wi, jnp.float32) for wi in weights]
+        out = self._transfer(self.params, feats_one, self.styles, self.stats, w)
+        h, w_ = self._orig_hw
+        return model_to_bgr(np.asarray(crop_back(out, h, w_, self.infer.pad)))
+
+    def interpolate_video(self, frames_bgr: Sequence[np.ndarray]):
+        """The demo schedule of the reference driver: linear blend from style
+        A to style B across the clip (``Multi-style Interpolation/test.py:127-131``)."""
+        feats = self.encode_frames(frames_bgr)
+        self.prepare_global(feats)
+        n = feats.shape[0]
+        for i in range(n):
+            t = i / max(n - 1, 1)
+            yield self.transfer(feats[i : i + 1], [t, 1.0 - t])

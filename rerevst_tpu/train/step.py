@@ -1,0 +1,168 @@
+"""One fused training step (the reference's G update, ``train/train.py:353-415``).
+
+The whole step — forward, all losses including the 16-iteration relaxed-style
+inner optimization, backward, Adam — compiles to a single XLA program.  On a
+mesh it runs data-parallel: batch sharded, params replicated, gradients
+psum-averaged (``make_sharded_train_step``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from rerevst_tpu.config import TrainConfig
+from rerevst_tpu.losses.perceptual import content_loss, style_loss, tv_loss
+from rerevst_tpu.losses.relaxed import relaxed_style_loss
+from rerevst_tpu.losses.temporal import generate_fake_data, temporal_loss
+from rerevst_tpu.models import vgg
+from rerevst_tpu.models.layers import precision_for
+from rerevst_tpu.models.transformer import decode, encode_style
+from rerevst_tpu.ops.image import rgb_to_luma_reversed
+from rerevst_tpu.train.state import TrainState, make_optimizer
+
+
+def compute_losses(params: Dict, content, style, key, cfg: TrainConfig
+                   ) -> Tuple[jnp.ndarray, Dict]:
+    """Total weighted loss + metric/aux dict.
+
+    Faithful to the reference's asymmetries: the encoder sees *color* content
+    (``train/style_networks.py:570``) while the content-loss target is VGG of
+    the *gray* content (``:580-588``); recon encodes the gray style
+    (``:665-668``); the temporal pass uses validation() on the color fake
+    second frame (``train/train.py:375-384``).
+    """
+    mcfg, lcfg = cfg.model, cfg.loss
+    prec = precision_for(mcfg.dtype)
+    metrics: Dict = {}
+    aux: Dict = {}
+
+    gray_content = rgb_to_luma_reversed(content)
+    f_content = vgg.encode(params["encoder"], content, prec)
+    sf = encode_style(params, style, mcfg)
+    styled = decode(params["decoder"], f_content, sf, mcfg)
+    aux["styled"] = styled
+
+    total = 0.0
+
+    if lcfg.style_content_loss:
+        f_styled = vgg.vgg_features(params["vgg_loss"], styled, "relu4_1", prec)
+        f_content_gt = vgg.vgg_features(params["vgg_loss"], gray_content,
+                                        "relu4_1", prec)
+        c_loss = content_loss(f_styled, f_content_gt)
+        if lcfg.relax_style:
+            s_loss, ori_loss, robust_style = relaxed_style_loss(
+                params["vgg_loss"], style, f_styled, lcfg, mcfg)
+            aux["relaxed_style"] = robust_style
+        else:
+            f_style_gt = vgg.vgg_features(params["vgg_loss"], style,
+                                          "relu4_1", prec)
+            s_loss = style_loss(f_styled, f_style_gt, mcfg.mean_std_eps)
+            ori_loss = jnp.asarray(0.0)
+        total = total + c_loss * lcfg.content_weight + s_loss * lcfg.style_weight
+        if lcfg.old_style_loss:
+            total = total + ori_loss * lcfg.old_weight
+        metrics.update(content=c_loss, new_style=s_loss, old_style=ori_loss)
+    else:
+        metrics.update(content=0.0, new_style=0.0, old_style=0.0)
+
+    if lcfg.recon_loss:
+        recon_content = decode(params["decoder"], f_content,
+                               encode_style(params, content, mcfg), mcfg)
+        gray_style_feat = vgg.encode(params["encoder"],
+                                     rgb_to_luma_reversed(style), prec)
+        recon_style = decode(params["decoder"], gray_style_feat, sf, mcfg)
+        r_loss = (jnp.mean(jnp.abs(recon_content - content))
+                  + jnp.mean(jnp.abs(recon_style - style)))
+        total = total + r_loss * lcfg.recon_weight
+        metrics["recon"] = r_loss
+        aux["recon_content"] = recon_content
+        aux["recon_style"] = recon_style
+    else:
+        metrics["recon"] = 0.0
+
+    if lcfg.temporal_loss:
+        second, flow = generate_fake_data(key, content, lcfg)
+        second = lax.stop_gradient(second)
+        f_second = vgg.encode(params["encoder"], second, prec)
+        styled_second = decode(params["decoder"], f_second, sf, mcfg)
+        t_loss, warped = temporal_loss(styled, styled_second, flow,
+                                       use_warp=lcfg.data_w)
+        t_gt, _ = temporal_loss(content, second, flow, use_warp=lcfg.data_w)
+        total = total + t_loss * lcfg.temporal_weight
+        metrics["temporal"] = t_loss
+        metrics["temporal_gt"] = lax.stop_gradient(t_gt)
+        aux["second"] = second
+        aux["styled_second"] = styled_second
+        aux["fake_styled_second"] = warped
+    else:
+        metrics["temporal"] = 0.0
+        metrics["temporal_gt"] = 0.0
+
+    if lcfg.tv_loss:
+        t = tv_loss(styled)
+        total = total + t * lcfg.tv_weight
+        metrics["tv"] = t
+    else:
+        metrics["tv"] = 0.0
+
+    metrics["total"] = total
+    return total, (metrics, aux)
+
+
+def make_train_step(cfg: TrainConfig, params_template: Dict):
+    """Jitted (state, content, style, key) -> (state, metrics)."""
+    opt = make_optimizer(cfg, params_template)
+
+    @jax.jit
+    def train_step(state: TrainState, content, style, key):
+        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
+        (_, (metrics, _)), grads = grad_fn(state.params, content, style,
+                                           key, cfg)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
+                            mesh: Mesh, axis: str = "data"):
+    """Data-parallel train step: batch sharded over `mesh`, params replicated,
+    grads psum-averaged over ICI — the distributed layer the reference never
+    had (SURVEY §5, communication backend row)."""
+    opt = make_optimizer(cfg, params_template)
+
+    def local_step(state: TrainState, content, style, key):
+        # Per-device PRNG stream: fold in the device index so fake motion
+        # differs across shards (like independent dataloader workers).
+        idx = lax.axis_index(axis)
+        key = jax.random.fold_in(key, idx)
+
+        def loss_fn(params):
+            total, (metrics, _) = compute_losses(params, content, style,
+                                                 key, cfg)
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = lax.pmean(grads, axis)
+        metrics = lax.pmean(metrics, axis)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)

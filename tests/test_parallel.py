@@ -1,0 +1,94 @@
+"""Multi-chip sharding correctness on the virtual 8-device CPU mesh.
+
+The centerpiece mapping of the rebuild (SURVEY §5): Pass 1 global statistics
+are a two-pass reduction over the frame axis -> psum/pmin/pmax over the mesh;
+Pass 2 is embarrassingly frame-parallel.  These tests pin sharded == single
+-device numerics, including non-divisible frame counts (mask path).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rerevst_tpu.config import ModelConfig
+from rerevst_tpu.models.transformer import (
+    TransformerNet,
+    collect_stats,
+    encode_content,
+    encode_style,
+    init_transformer_params,
+)
+from rerevst_tpu.ops.image import normalize
+from rerevst_tpu.parallel import (
+    collect_stats_sharded,
+    frame_mesh,
+    stylize_frames_sharded,
+)
+
+CFG = ModelConfig()
+NET = TransformerNet(CFG)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_transformer_params(jax.random.PRNGKey(1), CFG,
+                                     with_loss_net=False)
+    # Conditioning: random-init VGG features have many near-dead channels
+    # whose rsqrt(var+eps) normalization amplifies fp noise chaotically —
+    # any cross-ordering comparison would measure chaos, not correctness.
+    # Use healthy synthetic relu4_1 features instead (all channels alive),
+    # as a trained encoder would produce; the stock 0.02-gain decoder init
+    # is well-behaved on them.
+    rng = np.random.default_rng(2)
+    style = normalize(jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32)))
+    frames = normalize(jnp.asarray(rng.random((5, 64, 64, 3), dtype=np.float32)))
+    sf = encode_style(params, style, CFG)
+    feats = jnp.asarray(
+        np.abs(rng.standard_normal((5, 8, 8, 512))).astype(np.float32)
+        * (0.5 + rng.random(512, dtype=np.float32))
+    )
+    return params, sf, feats, frames
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_collect_matches_single_device(setup, ndev):
+    """psum/pmin/pmax-sharded Pass 1 == batched single-device Pass 1.
+
+    5 frames over 8 devices also exercises the mask path (3 padded frames
+    must be statistically invisible)."""
+    params, sf, feats, _ = setup
+    mesh = frame_mesh(ndev)
+    single = collect_stats(params["decoder"], feats, sf, CFG)
+    sharded = collect_stats_sharded(params["decoder"], feats, sf, CFG, mesh)
+    for a, b in zip(jax.tree.leaves(single), jax.tree.leaves(sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_masked_collect_equals_unpadded(setup):
+    """mask semantics alone (no mesh): padded frames don't change stats."""
+    params, sf, feats, _ = setup
+    plain = collect_stats(params["decoder"], feats, sf, CFG)
+    padded = jnp.concatenate([feats, feats[-1:] * 7.0], axis=0)
+    mask = jnp.asarray([1, 1, 1, 1, 1, 0], jnp.float32)
+    masked = collect_stats(params["decoder"], padded, sf, CFG, mask=mask)
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(masked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_stylize_matches_single_device(setup):
+    params, sf, feats, frames = setup
+    stats = collect_stats(params["decoder"], feats, sf, CFG)
+    mesh = frame_mesh(8)
+    single = NET.stylize(params, frames, sf, stats)
+    sharded = stylize_frames_sharded(params, frames, sf, stats, CFG, mesh)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-4)
