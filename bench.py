@@ -24,7 +24,7 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=96,
                     help="frames per timed repetition")
     ap.add_argument("--reps", type=int, default=3)

@@ -46,6 +46,7 @@ from rerevst_tpu.models.layers import (
     leaky_relu,
     linear,
     precision_for,
+    upsample2x_conv3x3,
 )
 from rerevst_tpu.ops.image import rgb_to_luma_reversed
 from rerevst_tpu.ops.resize import upsample_nearest_2x
@@ -240,12 +241,20 @@ def _kernel_filter(p, content, style_map, cfg: ModelConfig):
 
 
 def _resblock(p, x, cfg: ModelConfig, upsample: bool = True):
-    """ResidualBlock.forward, stateless norms (``train/style_networks.py:262-274``)."""
+    """ResidualBlock.forward, stateless norms (``train/style_networks.py:262-274``).
+
+    The nearest-2x upsample is folded into conv1 (four 2x2 parity convs at
+    low res — see ``upsample2x_conv3x3``) and hoisted below the 1x1 shortcut
+    (exact for nearest upsampling): the 2x-res intermediate never exists.
+    """
     prec = precision_for(cfg.dtype)
     if upsample:
-        x = upsample_nearest_2x(x)
-    xs = conv2d(p["shortcut"], x, padding=0, precision=prec)
-    h = conv2d(p["conv1"], x, padding=1, precision=prec)
+        xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
+                                        precision=prec))
+        h = upsample2x_conv3x3(p["conv1"], x, precision=prec)
+    else:
+        xs = conv2d(p["shortcut"], x, padding=0, precision=prec)
+        h = conv2d(p["conv1"], x, padding=1, precision=prec)
     h = _instance_norm(leaky_relu(h), cfg.norm_eps)
     h = conv2d(p["conv2"], h, padding=1, precision=prec)
     h = _instance_norm(leaky_relu(h), cfg.norm_eps)
@@ -290,11 +299,16 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def _norm_apply(st: NormStats, x):
-    """Frozen-stats normalize + clamp (``test/style_network_global.py:43-57``)."""
-    xf = x.astype(jnp.float32)
-    xf = (xf - st.mean) * st.rstd
-    xf = jnp.clip(xf, st.xmin, st.xmax)
-    return xf.astype(x.dtype)
+    """Frozen-stats normalize + clamp (``test/style_network_global.py:43-57``).
+
+    Statistics stay fp32; the elementwise apply runs in the activation dtype
+    so no fp32 copy of the (large) activation ever materializes in bf16 mode.
+    """
+    if x.dtype == jnp.float32:
+        xf = (x - st.mean) * st.rstd
+        return jnp.clip(xf, st.xmin, st.xmax)
+    xf = (x - st.mean.astype(x.dtype)) * st.rstd.astype(x.dtype)
+    return jnp.clip(xf, st.xmin.astype(x.dtype), st.xmax.astype(x.dtype))
 
 
 def _kernel_filter_frozen(p, content, fa, fb, cfg: ModelConfig):
@@ -310,11 +324,12 @@ def _kernel_filter_frozen(p, content, fa, fb, cfg: ModelConfig):
 
 def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     """ResidualBlock.forward with frozen norms
-    (``test/style_network_global.py:111-122``)."""
+    (``test/style_network_global.py:111-122``); upsample folded into conv1
+    and hoisted below the shortcut as in ``_resblock``."""
     prec = precision_for(cfg.dtype)
-    x = upsample_nearest_2x(x)
-    xs = conv2d(p["shortcut"], x, padding=0, precision=prec)
-    h = conv2d(p["conv1"], x, padding=1, precision=prec)
+    xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
+                                    precision=prec))
+    h = upsample2x_conv3x3(p["conv1"], x, precision=prec)
     h = _norm_apply(sa, leaky_relu(h))
     h = conv2d(p["conv2"], h, padding=1, precision=prec)
     h = _norm_apply(sb, leaky_relu(h))
@@ -450,9 +465,9 @@ def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
         return hn * s + m
 
     def res_compute(h, p, ka, kb):
-        h = upsample_nearest_2x(h)
-        xs = conv2d(p["shortcut"], h, padding=0, precision=prec)
-        t = conv2d(p["conv1"], h, padding=1, precision=prec)
+        xs = upsample_nearest_2x(conv2d(p["shortcut"], h, padding=0,
+                                        precision=prec))
+        t = upsample2x_conv3x3(p["conv1"], h, precision=prec)
         t, norms[ka] = _norm_compute(leaky_relu(t), cfgN, reduce_fns, mask)
         t = conv2d(p["conv2"], t, padding=1, precision=prec)
         t, norms[kb] = _norm_compute(leaky_relu(t), cfgN, reduce_fns, mask)
