@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rerevst_tpu.config import ModelConfig
 from rerevst_tpu.models.transformer import SeqStats, StyleFeatures, collect_stats
@@ -48,6 +48,6 @@ def collect_stats_sharded(params_dec, feats, style: StyleFeatures,
         local, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params_dec, feats, mask, style)

@@ -1,0 +1,85 @@
+"""Video stylization CLI — the reference driver as a real command.
+
+``python -m rerevst_tpu.stylize --style S.jpg --frames 'clip/*.png'
+--checkpoint model.pth -o out/`` replaces the edit-the-source constants of
+``test/generate_real_video.py:20-43``; same pipeline (two-pass global
+feature sharing, every-8th-frame sampling, MJPG .avi @ 24fps) with batched
+on-device Pass 2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from rerevst_tpu.api import Stylization
+from rerevst_tpu.config import InferenceConfig, ModelConfig
+from rerevst_tpu.data import video as vio
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("rerevst_tpu.stylize")
+    p.add_argument("--style", required=True, help="style image path")
+    p.add_argument("--frames", required=True,
+                   help="glob of content frames, e.g. 'clip/*.png'")
+    p.add_argument("--checkpoint", required=True,
+                   help=".pth (reference) or .msgpack (native) weights")
+    p.add_argument("-o", "--out", default="./result_frames")
+    p.add_argument("--video-out", default="./result_videos")
+    p.add_argument("--no-global", action="store_true",
+                   help="per-frame mode (no sequence-level feature sharing)")
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--interval", type=int, default=8,
+                   help="global-pass sampling interval")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    return p
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    use_global = not args.no_global
+
+    cfg = ModelConfig(
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+    infer = InferenceConfig(sample_interval=args.interval,
+                            use_global=use_global, batch_size=args.batch,
+                            fps=args.fps)
+    framework = Stylization(args.checkpoint, cfg=cfg, use_global=use_global,
+                            infer=infer)
+    framework.prepare_style(vio.read_frame(args.style))
+
+    frame_paths = vio.list_frames(args.frames)
+    if not frame_paths:
+        raise SystemExit(f"no frames match {args.frames!r}")
+    frames = [vio.read_frame(p) for p in frame_paths]
+
+    style_name = os.path.splitext(os.path.basename(args.style))[0]
+    clip_name = os.path.basename(os.path.dirname(frame_paths[0]))
+    name = f"ReReVST-{style_name}-{clip_name}" + (
+        "" if use_global else "-no-global")
+    out_dir = os.path.join(args.out, name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    t0 = time.time()
+    results = []
+    for i, styled in enumerate(framework.stylize_video(frames, args.batch)):
+        vio.write_frame(
+            os.path.join(out_dir, os.path.basename(frame_paths[i])), styled)
+        results.append(styled)
+    dt = time.time() - t0
+    print(json.dumps({"frames": len(results), "seconds": round(dt, 2),
+                      "fps": round(len(results) / dt, 2), "out": out_dir}))
+
+    if not args.no_video:
+        vio.write_video(os.path.join(args.video_out, f"{name}.avi"),
+                        results, fps=args.fps)
+
+
+if __name__ == "__main__":
+    main()

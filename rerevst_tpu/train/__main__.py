@@ -1,0 +1,114 @@
+"""Training CLI: ``python -m rerevst_tpu.train --style_content_loss ...``.
+
+Flag surface mirrors the reference (``train/train.py:24-90``); the proposed
+model is ``--dynamic_filter --both_sty_con --style_content_loss --recon_loss
+--tv_loss --temporal_loss --relax_style --data_sigma --data_w``
+(``README.md:70``).
+"""
+
+import argparse
+
+import jax.numpy as jnp
+
+from rerevst_tpu.config import LossConfig, ModelConfig, TrainConfig
+from rerevst_tpu.train.loop import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("rerevst_tpu.train")
+    p.add_argument("--manualSeed", type=int, default=0)
+    p.add_argument("--batchSize", type=int, default=4)
+    p.add_argument("--epoches", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--log", type=int, default=1000)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--max_steps", type=int, default=None)
+
+    p.add_argument("--content_data", default="./data/content/")
+    p.add_argument("--style_data", default="./data/style/")
+    p.add_argument("--outf", default="result")
+    p.add_argument("--valf", default="val")
+    p.add_argument("--log_dir", default="log")
+
+    p.add_argument("--loadSize", type=int, default=512)
+    p.add_argument("--fineSize", type=int, default=256)
+    p.add_argument("--flip", type=int, default=1)
+
+    p.add_argument("--dynamic_filter", action="store_true")
+    p.add_argument("--both_sty_con", action="store_true")
+    p.add_argument("--train_only_decoder", action="store_true")
+
+    p.add_argument("--temporal_loss", action="store_true")
+    p.add_argument("--style_content_loss", action="store_true")
+    p.add_argument("--recon_loss", action="store_true")
+    p.add_argument("--tv_loss", action="store_true")
+    p.add_argument("--relax_style", action="store_true")
+    p.add_argument("--old_style_loss", action="store_true")
+    p.add_argument("--adaversarial_loss", action="store_true")
+
+    p.add_argument("--contentWeight", type=float, default=1.0)
+    p.add_argument("--styleWeight", type=float, default=20.0)
+    p.add_argument("--reconWeight", type=float, default=20.0)
+    p.add_argument("--tvWeight", type=float, default=10.0)
+    p.add_argument("--temporalWeight", type=float, default=60.0)
+    p.add_argument("--ganWeight", type=float, default=1.0)
+    p.add_argument("--oldWeight", type=float, default=10.0)
+
+    p.add_argument("--data_sigma", action="store_true")
+    p.add_argument("--data_w", action="store_true")
+    p.add_argument("--data_noise_level", type=float, default=0.001)
+    p.add_argument("--data_motion_level", type=float, default=8.0)
+    p.add_argument("--data_shift_level", type=int, default=10)
+
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    return p
+
+
+def config_from_args(a) -> TrainConfig:
+    model = ModelConfig(
+        dynamic_filter=a.dynamic_filter,
+        both_sty_con=a.both_sty_con,
+        dtype=jnp.bfloat16 if a.dtype == "bf16" else jnp.float32,
+    )
+    loss = LossConfig(
+        style_content_loss=a.style_content_loss,
+        recon_loss=a.recon_loss,
+        tv_loss=a.tv_loss,
+        temporal_loss=a.temporal_loss,
+        relax_style=a.relax_style,
+        old_style_loss=a.old_style_loss,
+        adversarial_loss=a.adaversarial_loss,
+        content_weight=a.contentWeight,
+        style_weight=a.styleWeight,
+        recon_weight=a.reconWeight,
+        tv_weight=a.tvWeight,
+        temporal_weight=a.temporalWeight,
+        gan_weight=a.ganWeight,
+        old_weight=a.oldWeight,
+        data_sigma=a.data_sigma,
+        data_w=a.data_w,
+        noise_level=a.data_noise_level,
+        motion_level=a.data_motion_level,
+        shift_level=a.data_shift_level,
+    )
+    return TrainConfig(
+        batch_size=a.batchSize, epochs=a.epoches, lr=a.lr,
+        log_every=a.log, num_workers=a.num_workers,
+        load_size=a.loadSize, fine_size=a.fineSize, flip=bool(a.flip),
+        seed=a.manualSeed, content_data=a.content_data,
+        style_data=a.style_data, out_dir=a.outf, val_dir=a.valf,
+        log_dir=a.log_dir, train_only_decoder=a.train_only_decoder,
+        loss=loss, model=model,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print(cfg)
+    train(cfg, max_steps=args.max_steps, resume=args.continue_training)
+
+
+if __name__ == "__main__":
+    main()

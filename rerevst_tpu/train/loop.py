@@ -1,0 +1,173 @@
+"""Training driver: epochs, logging, validation grid, checkpointing, resume.
+
+The functional equivalent of ``train/train.py:304-478``, keeping the
+observable contract: the same scalar names at the same cadence
+('temporal', 'content', 'new style', 'old style', 'recon', 'tv',
+'temporal GT', 'loss_G_GAN', 'loss_d'; every 10 iters to TensorBoard,
+``train/train.py:435-444``), a fixed 6x6 validation grid each log point
+(``train/train.py:221-249``), and best-loss-gated checkpoints every
+``log_every`` iterations (``train/train.py:446-457``) — plus restart-safe
+step-tagged resume the reference lacks.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rerevst_tpu.config import TrainConfig
+from rerevst_tpu.data.datasets import get_loader
+from rerevst_tpu.data.transforms import bgr_to_model, model_to_bgr
+from rerevst_tpu.io.checkpoint import (
+    latest_checkpoint,
+    restore_train_state,
+    save_train_state,
+)
+from rerevst_tpu.models.transformer import TransformerNet, init_transformer_params
+from rerevst_tpu.train.state import TrainState, init_train_state
+from rerevst_tpu.train.step import make_train_step
+
+_SCALAR_NAMES = {
+    "temporal": "temporal", "content": "content", "new_style": "new style",
+    "old_style": "old style", "recon": "recon", "tv": "tv",
+    "temporal_gt": "temporal GT", "loss_G_GAN": "loss_G_GAN",
+    "loss_d": "loss_d",
+}
+
+
+class MetricsLogger:
+    """TensorBoard (if available) + JSONL scalar sink."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            self.tb = None
+
+    def log(self, step: int, metrics: Dict):
+        vals = {k: float(v) for k, v in metrics.items()}
+        self.jsonl.write(json.dumps({"step": step, **vals}) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            scalars = {_SCALAR_NAMES.get(k, k): v for k, v in vals.items()
+                       if k in _SCALAR_NAMES}
+            self.tb.add_scalars("scalar/loss", scalars, step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+class Validation:
+    """Fixed 6x6 content x style render grid (``train/train.py:221-249``)."""
+
+    def __init__(self, val_dir: str, net: TransformerNet, out_dir: str,
+                 n: int = 6, size: int = 256):
+        import cv2
+
+        self.net = net
+        self.out_dir = out_dir
+        self.pairs = []
+        contents = sorted(glob.glob(os.path.join(val_dir, "content", "*.jpg")))[:n]
+        styles = sorted(glob.glob(os.path.join(val_dir, "style", "*.jpg")))[:n]
+        for c, s in zip(contents, styles):
+            ci = cv2.resize(cv2.imread(c), (size, size))
+            si = cv2.resize(cv2.imread(s), (size, size))
+            self.pairs.append((bgr_to_model(ci), bgr_to_model(si)))
+
+    def save_results(self, params, epoch: int):
+        import cv2
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        for i, (c, s) in enumerate(self.pairs):
+            out = self.net.validation(params, jnp.asarray(c), jnp.asarray(s))
+            row = np.concatenate(
+                [model_to_bgr(np.asarray(out)), model_to_bgr(c),
+                 model_to_bgr(s)], axis=0)
+            cv2.imwrite(os.path.join(
+                self.out_dir, f"Epoch[{epoch}]-validation-{i}.png"), row)
+
+
+def train(cfg: TrainConfig, params: Optional[Dict] = None,
+          max_steps: Optional[int] = None, resume: bool = False) -> TrainState:
+    """Run training; returns the final state."""
+    net = TransformerNet(cfg.model)
+    if params is None:
+        params = init_transformer_params(jax.random.PRNGKey(cfg.seed),
+                                         cfg.model, with_loss_net=True)
+    state = init_train_state(params, cfg)
+    start_step = 0
+    if resume:
+        ck = latest_checkpoint(cfg.out_dir)
+        if ck is not None:
+            path, start_step = ck
+            p, o = restore_train_state(path, state.params, state.opt_state)
+            state = TrainState(p, o, jnp.asarray(start_step, jnp.int32))
+            print(f"resumed from {path} @ step {start_step}")
+
+    step_fn = make_train_step(cfg, state.params)
+    loader = get_loader(cfg.batch_size, cfg.load_size, cfg.fine_size,
+                        cfg.flip, cfg.content_data, cfg.style_data,
+                        num_workers=cfg.num_workers, seed=cfg.seed)
+    logger = MetricsLogger(cfg.log_dir)
+    validation = None
+    if os.path.isdir(os.path.join(cfg.val_dir, "content")):
+        validation = Validation(cfg.val_dir, net, cfg.out_dir)
+        validation.save_results(state.params, 0)
+
+    key = jax.random.PRNGKey(cfg.seed + 17)
+    min_total, cur_total = np.inf, 0.0
+    it = int(start_step)
+    t0 = time.time()
+    done = False
+    for epoch in range(1, cfg.epochs + 1):
+        if done:
+            break
+        for batch in loader:
+            content = jnp.asarray(batch["Content"])
+            style = jnp.asarray(batch["Style"])
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, content, style, sub)
+            it += 1
+            cur_total += float(metrics["total"])
+
+            if it % cfg.scalar_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t0) / cfg.scalar_every
+                t0 = time.time()
+                print(f"[Epoch {epoch}/{cfg.epochs}][Iter {it}] "
+                      f"New Style: {m['new_style']:.3f}, "
+                      f"Content: {m['content']:.3f}, "
+                      f"Recon: {m['recon']:.3f}, TV: {m['tv']:.3f}, "
+                      f"Temporal: {m['temporal']:.3f} "
+                      f"({m['temporal_gt']:.3f})  [{dt:.2f}s/it]")
+                logger.log(it, metrics)
+
+            if it % cfg.log_every == 0:
+                cur_total /= cfg.log_every
+                if cur_total < min_total:
+                    min_total = cur_total
+                    save_train_state(cfg.out_dir, it, state.params,
+                                     state.opt_state)
+                cur_total = 0.0
+                if validation is not None:
+                    validation.save_results(state.params, epoch)
+
+            if max_steps is not None and it - int(start_step) >= max_steps:
+                done = True
+                break
+    save_train_state(cfg.out_dir, it, state.params, state.opt_state)
+    logger.close()
+    return state

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rerevst_tpu.config import TrainConfig
 from rerevst_tpu.losses.perceptual import content_loss, style_loss, tv_loss
@@ -133,6 +133,67 @@ def make_train_step(cfg: TrainConfig, params_template: Dict):
     return train_step
 
 
+def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
+                                d_params_template: Dict):
+    """D-then-G alternating update (``train/train.py:320-415``), one program.
+
+    D: 0.5 * (lsgan(D(stop_grad(styled)), fake) + lsgan(D(style), real)),
+    Adam(1e-4, betas=(0.5, 0.9)) (``train/train.py:287``).
+    G: the standard losses + gan_weight * lsgan(D(styled), real) with D's
+    params stopped.
+    Returns (g_state, d_state, metrics) step fn over (g_state, d_state).
+    """
+    import optax as _optax
+
+    from rerevst_tpu.losses.gan import gan_loss
+    from rerevst_tpu.models.discriminator import discriminator
+
+    g_opt = make_optimizer(cfg, params_template)
+    d_opt = _optax.adam(1e-4, b1=0.5, b2=0.9)
+
+    @jax.jit
+    def train_step(g_state: TrainState, d_state: TrainState, content, style,
+                   key):
+        # --- D update on detached generator output ---------------------
+        styled_ng = lax.stop_gradient(
+            decode(g_state.params["decoder"],
+                   vgg.encode(g_state.params["encoder"], content),
+                   encode_style(g_state.params, style, cfg.model), cfg.model))
+
+        def d_loss_fn(d_params):
+            pred_fake = discriminator(d_params, styled_ng)
+            pred_real = discriminator(d_params, style)
+            return 0.5 * (gan_loss(pred_fake, False) + gan_loss(pred_real, True))
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+        d_updates, d_opt_state = d_opt.update(d_grads, d_state.opt_state,
+                                              d_state.params)
+        d_params = optax.apply_updates(d_state.params, d_updates)
+
+        # --- G update with the (frozen) updated D ----------------------
+        d_frozen = lax.stop_gradient(d_params)
+
+        def g_loss_fn(params):
+            total, (metrics, aux) = compute_losses(params, content, style,
+                                                   key, cfg)
+            pred_fake = discriminator(d_frozen, aux["styled"])
+            g_gan = gan_loss(pred_fake, True)
+            metrics["loss_G_GAN"] = g_gan
+            return total + g_gan * cfg.loss.gan_weight, metrics
+
+        (_, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params)
+        g_updates, g_opt_state = g_opt.update(g_grads, g_state.opt_state,
+                                              g_state.params)
+        g_params = optax.apply_updates(g_state.params, g_updates)
+        metrics["loss_d"] = d_loss
+
+        return (TrainState(g_params, g_opt_state, g_state.step + 1),
+                TrainState(d_params, d_opt_state, d_state.step + 1), metrics)
+
+    return train_step, d_opt
+
+
 def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
                             mesh: Mesh, axis: str = "data"):
     """Data-parallel train step: batch sharded over `mesh`, params replicated,
@@ -163,6 +224,6 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
         local_step, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

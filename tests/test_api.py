@@ -1,0 +1,215 @@
+"""End-to-end session API tests on the real reference fixture frames."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rerevst_tpu.api import Stylization
+from rerevst_tpu.config import InferenceConfig, ModelConfig
+from rerevst_tpu.io.checkpoint import (
+    latest_checkpoint,
+    load_params,
+    restore_train_state,
+    save_params,
+    save_train_state,
+)
+from rerevst_tpu.models.transformer import init_transformer_params
+from rerevst_tpu.multistyle import MultiStylization
+
+FIXTURE = "/root/reference/test/inputs"
+CFG = ModelConfig()
+INFER = InferenceConfig(pad=16, granularity=32, sample_interval=2)
+
+
+def _params():
+    p = init_transformer_params(jax.random.PRNGKey(0), CFG,
+                                with_loss_net=False)
+    p["decoder"] = jax.tree.map(lambda a: a * 5.0, p["decoder"])
+    return p
+
+
+@pytest.fixture(scope="module")
+def fixture_frames():
+    cv2 = pytest.importorskip("cv2")
+    frames = []
+    for i in (1, 2, 3, 4, 5):
+        img = cv2.imread(f"{FIXTURE}/ambush_4/frame_{i:04d}.png")
+        frames.append(img[:64, :96])
+    style = cv2.resize(cv2.imread(f"{FIXTURE}/plum_flower.jpg"), (64, 64))
+    return frames, style
+
+
+@pytest.fixture(scope="module")
+def session(fixture_frames):
+    frames, style = fixture_frames
+    s = Stylization(params=_params(), cfg=CFG, use_global=True, infer=INFER)
+    s.prepare_style(style)
+    return s
+
+
+class TestStylization:
+    def test_reference_surface_flow(self, session, fixture_frames):
+        """The exact add/compute/transfer protocol of the reference driver
+        (test/generate_real_video.py:129-171)."""
+        frames, _ = fixture_frames
+        session.clean()
+        for i in (0, 2, 4):
+            session.add(frames[i])
+        session.compute()
+        out = session.transfer(frames[0])
+        assert out.shape == frames[0].shape
+        assert out.dtype == np.uint8
+        assert out.std() > 1.0  # not a constant image
+
+    def test_transfer_deterministic(self, session, fixture_frames):
+        frames, _ = fixture_frames
+        a = session.transfer(frames[1])
+        b = session.transfer(frames[1])
+        np.testing.assert_array_equal(a, b)
+
+    def test_stylize_video_matches_transfer(self, fixture_frames):
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        video_out = list(s.stylize_video(frames, batch_size=2))
+        assert len(video_out) == len(frames)
+        # Same stats are now frozen in the session; transfer must agree.
+        per_frame = [s.transfer(f) for f in frames]
+        for a, b in zip(video_out, per_frame):
+            np.testing.assert_allclose(
+                a.astype(np.int16), b.astype(np.int16), atol=1)
+
+    def test_per_frame_mode(self, fixture_frames):
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=False,
+                        infer=INFER)
+        s.prepare_style(style)
+        out = s.transfer(frames[0])
+        assert out.shape == frames[0].shape
+
+    def test_global_requires_compute(self, fixture_frames):
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        with pytest.raises(RuntimeError):
+            s.transfer(frames[0])
+
+    def test_temporal_stability_vs_per_frame(self, fixture_frames):
+        """Global feature sharing must not be less stable than per-frame mode
+        on consecutive real frames — the paper's core claim."""
+        frames, style = fixture_frames
+        params = _params()
+        outs = {}
+        for mode in (True, False):
+            s = Stylization(params=params, cfg=CFG, use_global=mode,
+                            infer=INFER)
+            s.prepare_style(style)
+            if mode:
+                s.prepare_global([frames[0], frames[2], frames[4]])
+            outs[mode] = [s.transfer(f).astype(np.float32)
+                          for f in frames[:3]]
+        def jitter(seq):
+            return np.mean([np.abs(a - b).mean()
+                            for a, b in zip(seq, seq[1:])])
+        assert jitter(outs[True]) <= jitter(outs[False]) * 1.5
+
+
+class TestMultiStyle:
+    def test_interpolation_endpoints(self, fixture_frames):
+        frames, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0010.png"), (64, 64))
+        params = _params()
+        ms = MultiStylization(params=params, cfg=CFG, infer=INFER)
+        ms.prepare_styles([style, style2])
+        feats = ms.encode_frames(frames[:3])
+        ms.prepare_global(feats, interval=2)
+        a = ms.transfer(feats[0:1], [1.0, 0.0])
+        b = ms.transfer(feats[0:1], [0.0, 1.0])
+        mid = ms.transfer(feats[0:1], [0.5, 0.5])
+        assert a.shape == frames[0].shape
+        # Endpoints differ (different styles); blend sits between on average.
+        assert np.abs(a.astype(int) - b.astype(int)).mean() > 0.5
+        assert (mid.astype(np.float32).mean()
+                <= max(a.mean(), b.mean()) + 2.0)
+        assert (mid.astype(np.float32).mean()
+                >= min(a.mean(), b.mean()) - 2.0)
+
+    def test_interpolate_video_runs(self, fixture_frames):
+        frames, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0015.png"), (64, 64))
+        ms = MultiStylization(params=_params(), cfg=CFG, infer=INFER)
+        ms.prepare_styles([style, style2])
+        outs = list(ms.interpolate_video(frames[:3]))
+        assert len(outs) == 3
+        assert all(o.shape == frames[0].shape for o in outs)
+
+
+class TestCheckpoint:
+    def test_params_roundtrip(self, tmp_path):
+        params = _params()
+        path = str(tmp_path / "p.msgpack")
+        save_params(path, params)
+        back = load_params(path, like=params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_state_roundtrip(self, tmp_path):
+        from rerevst_tpu.config import TrainConfig
+        from rerevst_tpu.train.state import init_train_state
+
+        cfg = TrainConfig()
+        params = init_transformer_params(jax.random.PRNGKey(1),
+                                         CFG, with_loss_net=True)
+        state = init_train_state(params, cfg)
+        out = str(tmp_path)
+        save_train_state(out, 42, state.params, state.opt_state)
+        ck = latest_checkpoint(out)
+        assert ck is not None and ck[1] == 42
+        p, o = restore_train_state(ck[0], state.params, state.opt_state)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_checkpoint_pruning(self, tmp_path):
+        params = {"x": jnp.ones((2,))}
+        out = str(tmp_path)
+        for step in (1, 2, 3, 4, 5):
+            save_train_state(out, step, params, (), keep=3)
+        import glob
+
+        files = glob.glob(os.path.join(out, "ckpt-step*.msgpack"))
+        assert len(files) == 3
+        assert latest_checkpoint(out)[1] == 5
+
+
+class TestEwarp:
+    def test_identical_frames_zero(self, fixture_frames):
+        from rerevst_tpu.eval.ewarp import ewarp
+
+        frames, _ = fixture_frames
+        const = [frames[0]] * 3
+        h, w = frames[0].shape[:2]
+        zero = [np.zeros((h, w, 2), np.float32)] * 2
+        r = ewarp(const, const, flows=zero)
+        assert r["ewarp"] < 1e-6
+        # Estimated flow on identical frames: tiny resampling noise only.
+        r2 = ewarp(const, const)
+        assert r2["ewarp"] < 0.5
+
+    def test_real_clip_control_bound(self, fixture_frames):
+        from rerevst_tpu.eval.ewarp import ewarp
+
+        frames, _ = fixture_frames
+        r = ewarp(frames, frames)
+        # styled==original -> ewarp equals the control exactly.
+        assert abs(r["ewarp"] - r["ewarp_control"]) < 1e-6
+        assert r["pairs"] == len(frames) - 1

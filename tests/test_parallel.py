@@ -83,6 +83,24 @@ def test_masked_collect_equals_unpadded(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_collect_matches_batched(setup):
+    """Bounded-memory streaming collection (the working replacement of the
+    reference's broken disk-spill long-video path) == batched collection."""
+    from rerevst_tpu.parallel.streaming import collect_stats_streaming
+
+    params, sf, feats, _ = setup
+    batched = collect_stats(params["decoder"], feats, sf, CFG)
+    streamed = collect_stats_streaming(params["decoder"], np.asarray(feats),
+                                       sf, CFG, chunk_size=2)
+    import jax.tree_util as jtu
+
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(batched),
+                               jtu.tree_leaves_with_path(streamed)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=jtu.keystr(pa))
+
+
 def test_sharded_stylize_matches_single_device(setup):
     params, sf, feats, frames = setup
     stats = collect_stats(params["decoder"], feats, sf, CFG)
