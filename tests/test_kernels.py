@@ -1,0 +1,69 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rerevst_tpu.kernels import (
+    dynamic_filter_pair,
+    dynamic_filter_pair_xla,
+    norm_affine_clamp,
+    norm_affine_clamp_xla,
+)
+from rerevst_tpu.models.transformer import NormStats
+
+
+class TestFilterChain:
+    @pytest.mark.parametrize("shape", [(1, 8, 8, 32), (2, 10, 12, 32)])
+    def test_matches_xla(self, rng, shape):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((1, 32, 32)).astype(np.float32) * 0.2)
+        f2 = jnp.asarray(rng.standard_normal((1, 32, 32)).astype(np.float32) * 0.2)
+        want = dynamic_filter_pair_xla(x, f1, f2,
+                                       precision=jax.lax.Precision.HIGHEST)
+        got = dynamic_filter_pair(x, f1, f2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_nonmultiple_tile(self, rng):
+        # 1*3*5*32 = 480 rows: not a multiple of the tile -> masked padding.
+        x = jnp.asarray(rng.standard_normal((1, 3, 5, 32)).astype(np.float32))
+        f1 = jnp.asarray(np.eye(32, dtype=np.float32)[None])
+        f2 = jnp.asarray(np.eye(32, dtype=np.float32)[None])
+        got = dynamic_filter_pair(x, f1, f2, interpret=True)
+        # identity filters + positive/negative leaky: y = leaky(x)
+        want = jnp.where(x >= 0, x, 0.2 * x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+class TestNormAffine:
+    def test_matches_xla(self, rng):
+        c = 64
+        x = jnp.asarray(rng.standard_normal((2, 6, 7, c)).astype(np.float32))
+        st = NormStats(
+            mean=jnp.asarray(rng.standard_normal((1, 1, 1, c)).astype(np.float32)),
+            rstd=jnp.asarray((0.5 + rng.random((1, 1, 1, c))).astype(np.float32)),
+            xmin=jnp.asarray((-2 - rng.random((1, 1, 1, c))).astype(np.float32)),
+            xmax=jnp.asarray((2 + rng.random((1, 1, 1, c))).astype(np.float32)),
+        )
+        s = jnp.asarray((1 + rng.random((1, 1, 1, c))).astype(np.float32))
+        m = jnp.asarray(rng.standard_normal((1, 1, 1, c)).astype(np.float32))
+        want = norm_affine_clamp_xla(x, st, s, m)
+        got = norm_affine_clamp(x, st, s, m, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_clamp_engages(self, rng):
+        c = 32
+        x = jnp.asarray((rng.standard_normal((1, 4, 4, c)) * 10).astype(np.float32))
+        st = NormStats(
+            mean=jnp.zeros((1, 1, 1, c)), rstd=jnp.ones((1, 1, 1, c)),
+            xmin=jnp.full((1, 1, 1, c), -1.0), xmax=jnp.full((1, 1, 1, c), 1.0),
+        )
+        s = jnp.ones((1, 1, 1, c))
+        m = jnp.zeros((1, 1, 1, c))
+        got = np.asarray(norm_affine_clamp(x, st, s, m, interpret=True))
+        assert got.min() >= -1.0 - 1e-6 and got.max() <= 1.0 + 1e-6
