@@ -97,12 +97,18 @@ class Stylization:
     # ------------------------------------------------------------------
 
     def _prep(self, frame_bgr: np.ndarray) -> jnp.ndarray:
-        x = jnp.asarray(bgr_to_model(frame_bgr))
         h, w = frame_bgr.shape[:2]
         if self._pad_hw is None:
             self._pad_hw = padded_size(h, w, self.infer.pad,
                                        self.infer.granularity)
             self._orig_hw = (h, w)
+        from rerevst_tpu.data import native
+
+        if native.available():
+            # Fused native BGR->RGB + normalize + reflect-pad (C++ runtime).
+            return jnp.asarray(native.preprocess(
+                frame_bgr, self._pad_hw[0], self._pad_hw[1], self.infer.pad))
+        x = jnp.asarray(bgr_to_model(frame_bgr))
         return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
                                     self._pad_hw)
 
@@ -136,6 +142,11 @@ class Stylization:
         x = self._prep(frame_bgr)
         out = self._stylize(x)
         h, w = frame_bgr.shape[:2]
+        from rerevst_tpu.data import native
+
+        if native.available():
+            return native.postprocess(
+                np.asarray(out, dtype=np.float32), h, w, self.infer.pad)
         out = crop_back(out, h, w, self.infer.pad)
         return model_to_bgr(np.asarray(out))
 

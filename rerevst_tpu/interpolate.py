@@ -1,0 +1,69 @@
+"""Multi-style interpolation CLI (``Multi-style Interpolation/test.py`` driver).
+
+``python -m rerevst_tpu.interpolate --styles A.jpg B.jpg --frames 'clip/*.png'
+--checkpoint model.pth -o out/`` encodes every frame once, freezes per-style
+sequence statistics (interval 16 sampling, ``Multi-style .../test.py:72``),
+then replays decode-only per frame with the blend weight sweeping linearly
+from the first style to the second (``:127-131``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("rerevst_tpu.interpolate")
+    p.add_argument("--styles", nargs="+", required=True,
+                   help="2+ style image paths")
+    p.add_argument("--frames", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("-o", "--out", default="./result_interp")
+    p.add_argument("--interval", type=int, default=16)
+    p.add_argument("--style-size", type=int, default=384,
+                   help="styles resized to this square (reference: 384)")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    return p
+
+
+def main(argv=None):
+    import cv2
+    import jax.numpy as jnp
+
+    from rerevst_tpu.config import InferenceConfig, ModelConfig
+    from rerevst_tpu.data import video as vio
+    from rerevst_tpu.multistyle import MultiStylization
+
+    args = build_parser().parse_args(argv)
+    cfg = ModelConfig(
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+    infer = InferenceConfig(sample_interval=args.interval)
+
+    ms = MultiStylization(checkpoint=args.checkpoint, cfg=cfg, infer=infer)
+    styles = [cv2.resize(vio.read_frame(s),
+                         (args.style_size, args.style_size))
+              for s in args.styles]
+    ms.prepare_styles(styles)
+
+    frame_paths = vio.list_frames(args.frames)
+    if not frame_paths:
+        raise SystemExit(f"no frames match {args.frames!r}")
+    frames = [vio.read_frame(p) for p in frame_paths]
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    n = 0
+    for i, styled in enumerate(ms.interpolate_video(frames)):
+        vio.write_frame(os.path.join(args.out,
+                                     os.path.basename(frame_paths[i])), styled)
+        n += 1
+    dt = time.time() - t0
+    print(json.dumps({"frames": n, "seconds": round(dt, 2),
+                      "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
