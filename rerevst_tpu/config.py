@@ -124,6 +124,10 @@ class TrainConfig:
     val_dir: str = "val"
     log_dir: str = "log"
     train_only_decoder: bool = False
+    #: Figure-16 ablation datasets (``train/dataset.py:531-552``): real MPI
+    #: Sintel flow (content_data points at the MPI tree) or zip'd video pairs.
+    use_mpi: bool = False
+    use_video: bool = False
 
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)

@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dynamic_filter", action="store_true")
     p.add_argument("--both_sty_con", action="store_true")
     p.add_argument("--train_only_decoder", action="store_true")
+    p.add_argument("--use_mpi", action="store_true")
+    p.add_argument("--use_video", action="store_true")
 
     p.add_argument("--temporal_loss", action="store_true")
     p.add_argument("--style_content_loss", action="store_true")
@@ -99,6 +101,7 @@ def config_from_args(a) -> TrainConfig:
         seed=a.manualSeed, content_data=a.content_data,
         style_data=a.style_data, out_dir=a.outf, val_dir=a.valf,
         log_dir=a.log_dir, train_only_decoder=a.train_only_decoder,
+        use_mpi=a.use_mpi, use_video=a.use_video,
         loss=loss, model=model,
     )
 

@@ -120,7 +120,8 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
     step_fn = make_train_step(cfg, state.params)
     loader = get_loader(cfg.batch_size, cfg.load_size, cfg.fine_size,
                         cfg.flip, cfg.content_data, cfg.style_data,
-                        num_workers=cfg.num_workers, seed=cfg.seed)
+                        num_workers=cfg.num_workers, seed=cfg.seed,
+                        use_mpi=cfg.use_mpi, use_video=cfg.use_video)
     logger = MetricsLogger(cfg.log_dir)
     validation = None
     if os.path.isdir(os.path.join(cfg.val_dir, "content")):
@@ -138,8 +139,10 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
         for batch in loader:
             content = jnp.asarray(batch["Content"])
             style = jnp.asarray(batch["Style"])
+            extra = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k not in ("Content", "Style")} or None
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, content, style, sub)
+            state, metrics = step_fn(state, content, style, sub, extra)
             it += 1
             cur_total += float(metrics["total"])
 

@@ -29,8 +29,8 @@ from rerevst_tpu.ops.image import rgb_to_luma_reversed
 from rerevst_tpu.train.state import TrainState, make_optimizer
 
 
-def compute_losses(params: Dict, content, style, key, cfg: TrainConfig
-                   ) -> Tuple[jnp.ndarray, Dict]:
+def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
+                   extra: Dict = None) -> Tuple[jnp.ndarray, Dict]:
     """Total weighted loss + metric/aux dict.
 
     Faithful to the reference's asymmetries: the encoder sees *color* content
@@ -88,7 +88,47 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig
     else:
         metrics["recon"] = 0.0
 
-    if lcfg.temporal_loss:
+    if lcfg.temporal_loss and extra is not None and "BackwardFlow" in extra:
+        # Figure-16 ablation: real MPI Sintel pairs + GT backward flow
+        # (datasets D2, loss M18 — ``train/loss_networks.py:117-130``).
+        from rerevst_tpu.losses.temporal import temporal_loss_mpi
+
+        nxt = extra["NextContent"]
+        flow = extra["BackwardFlow"]
+        mask = extra["BackwardMask"]
+        if mask.ndim == 3:
+            mask = mask[..., None]
+        styled_next = decode(params["decoder"],
+                             vgg.encode(params["encoder"], nxt, prec),
+                             sf, mcfg)
+        t_loss, fake_pre = temporal_loss_mpi(styled_next, styled, flow, mask)
+        t_gt, _ = temporal_loss_mpi(nxt, content, flow, mask)
+        total = total + t_loss * lcfg.temporal_weight
+        metrics["temporal"] = t_loss
+        metrics["temporal_gt"] = lax.stop_gradient(t_gt)
+        aux["styled_second"] = styled_next
+        aux["fake_styled_second"] = fake_pre
+    elif lcfg.temporal_loss and extra is not None and "ForwardFlow" in extra:
+        # Figure-16 ablation: real-video pairs + forward flow (D3 + M18,
+        # ``train/loss_networks.py:132-145``).
+        from rerevst_tpu.losses.temporal import temporal_loss_video
+
+        nxt = extra["NextContent"]
+        flow = extra["ForwardFlow"]
+        mask = extra["ForwardMask"]
+        if mask.ndim == 3:
+            mask = mask[..., None]
+        styled_next = decode(params["decoder"],
+                             vgg.encode(params["encoder"], nxt, prec),
+                             sf, mcfg)
+        t_loss, fake_cur = temporal_loss_video(styled_next, styled, flow, mask)
+        t_gt, _ = temporal_loss_video(nxt, content, flow, mask)
+        total = total + t_loss * lcfg.temporal_weight
+        metrics["temporal"] = t_loss
+        metrics["temporal_gt"] = lax.stop_gradient(t_gt)
+        aux["styled_second"] = styled_next
+        aux["fake_styled_second"] = fake_cur
+    elif lcfg.temporal_loss:
         second, flow = generate_fake_data(key, content, lcfg)
         second = lax.stop_gradient(second)
         f_second = vgg.encode(params["encoder"], second, prec)
@@ -122,10 +162,12 @@ def make_train_step(cfg: TrainConfig, params_template: Dict):
     opt = make_optimizer(cfg, params_template)
 
     @jax.jit
-    def train_step(state: TrainState, content, style, key):
-        grad_fn = jax.value_and_grad(compute_losses, has_aux=True)
-        (_, (metrics, _)), grads = grad_fn(state.params, content, style,
-                                           key, cfg)
+    def train_step(state: TrainState, content, style, key, extra=None):
+        def loss_fn(params):
+            return compute_losses(params, content, style, key, cfg, extra)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, _)), grads = grad_fn(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
