@@ -30,7 +30,17 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--mode", default="infer",
+                    choices=["infer", "train", "multistyle", "1080p"],
+                    help="infer: 512p hot loop (headline); train: full train "
+                         "step; multistyle: 2-style blended decode; 1080p: "
+                         "1080p inference")
     args = ap.parse_args()
+    if args.mode == "1080p":
+        args.size, args.batch = 1080, max(args.batch // 4, 2)
+    if args.mode == "train":
+        bench_train(args)
+        return
     if args.quick:
         args.frames, args.reps = 2 * args.batch, 1
 
@@ -61,10 +71,25 @@ def main():
         feats = encode_content(params, sample, cfg)
         return sf, collect_stats(params["decoder"], feats, sf, cfg)
 
-    @jax.jit
-    def hot(params, frames, sf, stats):
-        feats = encode_content(params, frames, cfg, desaturate=True)
-        return decode_global(params["decoder"], feats, sf, stats, cfg)
+    if args.mode == "multistyle":
+        from rerevst_tpu.models.transformer import blend_pytrees
+
+        style2 = jax.random.normal(jax.random.PRNGKey(9), (1, h, w, 3),
+                                   dtype) * 0.5
+        sf2, stats2 = prep(params, style2, sample)
+        w1, w2 = jnp.asarray(0.3, jnp.float32), jnp.asarray(0.7, jnp.float32)
+
+        @jax.jit
+        def hot(params, frames, sf, stats):
+            bsf = blend_pytrees([sf, sf2], [w1, w2])
+            bst = blend_pytrees([stats, stats2], [w1, w2])
+            feats = encode_content(params, frames, cfg, desaturate=True)
+            return decode_global(params["decoder"], feats, bsf, bst, cfg)
+    else:
+        @jax.jit
+        def hot(params, frames, sf, stats):
+            feats = encode_content(params, frames, cfg, desaturate=True)
+            return decode_global(params["decoder"], feats, sf, stats, cfg)
 
     sf, stats = prep(params, style, sample)
 
@@ -90,13 +115,63 @@ def main():
     lat = [per_call * 1e3]
 
     fps = 1.0 / best
+    metric = {"infer": "frames_per_sec_512p",
+              "multistyle": "frames_per_sec_512p_2style",
+              "1080p": "frames_per_sec_1080p"}[args.mode]
     print(json.dumps({
-        "metric": "frames_per_sec_512p",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 200.0, 3),
         "batch_latency_ms": round(lat[0], 2),
         "batch": args.batch,
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_train(args):
+    """Full training-step throughput (the paper recipe: batch 4, 256^2 crops,
+    all losses incl. the 16-iteration relaxed-style inner optimization)."""
+    import jax.numpy as jnp
+
+    from rerevst_tpu.config import LossConfig, ModelConfig, TrainConfig
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.train.state import init_train_state
+    from rerevst_tpu.train.step import make_train_step
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    cfg = TrainConfig(model=ModelConfig(dtype=dtype), loss=LossConfig())
+    params = init_transformer_params(jax.random.PRNGKey(0), cfg.model,
+                                     with_loss_net=True)
+    state = init_train_state(params, cfg)
+    step = make_train_step(cfg, params)
+    b = 4 if not args.quick else 2
+    content = jax.random.normal(jax.random.PRNGKey(1), (b, 256, 256, 3),
+                                cfg.model.dtype) * 0.5
+    style = jax.random.normal(jax.random.PRNGKey(2), (b, 256, 256, 3),
+                              cfg.model.dtype) * 0.5
+    key = jax.random.PRNGKey(3)
+
+    def chain(state, n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, content, style,
+                                  jax.random.fold_in(key, i))
+        float(metrics["total"])
+        return time.perf_counter() - t0, state
+
+    _, state = chain(state, 1)  # compile
+    t1, state = chain(state, 1)
+    n = 2 if args.quick else 6
+    tn, state = chain(state, n)
+    per = max(tn - t1, 1e-9) / (n - 1) if n > 1 else tn
+    print(json.dumps({
+        "metric": "train_steps_per_sec_b4_256",
+        "value": round(1.0 / per, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": None,
+        "step_ms": round(per * 1e3, 1),
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
     }))

@@ -91,9 +91,29 @@ class MultiStylization:
         return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
                                     self._pad_hw)
 
-    def encode_frames(self, frames_bgr: Sequence[np.ndarray]) -> jnp.ndarray:
-        batch = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
-        return self._encode_content(self.params, batch)
+    def encode_frames(self, frames_bgr: Sequence[np.ndarray],
+                      cache_path: Optional[str] = None) -> jnp.ndarray:
+        """Encode every frame once.  With `cache_path`, features are stored in
+        a disk-backed memmap (the reference's ``cache/%d.pt`` directory,
+        ``Multi-style Interpolation/test.py:87-98``) so long clips don't have
+        to fit in HBM/RAM; pass the returned array straight to
+        ``prepare_global``/``transfer``."""
+        first = self._encode_content(self.params, self._prep(frames_bgr[0]))
+        shape = (len(frames_bgr),) + first.shape[1:]
+        if cache_path is not None:
+            feats = np.lib.format.open_memmap(
+                cache_path, mode="w+", dtype=np.float32, shape=shape)
+        else:
+            feats = np.empty(shape, np.float32)
+        feats[0] = np.asarray(first[0])
+        for i, f in enumerate(frames_bgr[1:], start=1):
+            feats[i] = np.asarray(
+                self._encode_content(self.params, self._prep(f))[0])
+        return feats if cache_path is not None else jnp.asarray(feats)
+
+    @staticmethod
+    def load_features(cache_path: str) -> np.ndarray:
+        return np.load(cache_path, mmap_mode="r")
 
     def prepare_global(self, feats: jnp.ndarray,
                        interval: Optional[int] = None) -> None:
@@ -102,7 +122,10 @@ class MultiStylization:
         iv = interval or self.infer.sample_interval
         n = feats.shape[0]
         idx = list(range(0, n - 1, iv)) + [n - 1]
-        sampled = feats[jnp.asarray(idx)]
+        if isinstance(feats, np.ndarray):  # includes disk-backed memmaps
+            sampled = jnp.asarray(np.stack([feats[i] for i in idx]))
+        else:
+            sampled = feats[jnp.asarray(idx)]
         self.stats = [
             self._collect(self.params, sampled, sf) for sf in self.styles
         ]

@@ -142,6 +142,21 @@ class TestMultiStyle:
         assert (mid.astype(np.float32).mean()
                 >= min(a.mean(), b.mean()) - 2.0)
 
+    def test_disk_feature_cache(self, fixture_frames, tmp_path):
+        """The reference's cache/%d.pt content-feature disk cache as a memmap
+        (Multi-style Interpolation/test.py:87-98)."""
+        frames, style = fixture_frames
+        ms = MultiStylization(params=_params(), cfg=CFG, infer=INFER)
+        ms.prepare_styles([style])
+        cache = str(tmp_path / "feats.npy")
+        feats = ms.encode_frames(frames[:3], cache_path=cache)
+        assert isinstance(feats, np.ndarray)
+        reloaded = MultiStylization.load_features(cache)
+        np.testing.assert_array_equal(np.asarray(feats), np.asarray(reloaded))
+        ms.prepare_global(reloaded, interval=2)
+        out = ms.transfer(jnp.asarray(np.asarray(reloaded[0:1])), [1.0])
+        assert out.shape == frames[0].shape
+
     def test_interpolate_video_runs(self, fixture_frames):
         frames, style = fixture_frames
         cv2 = pytest.importorskip("cv2")
