@@ -128,6 +128,10 @@ class TrainConfig:
     #: Sintel flow (content_data points at the MPI tree) or zip'd video pairs.
     use_mpi: bool = False
     use_video: bool = False
+    #: Rematerialize the decoder in the backward pass (jax.checkpoint) —
+    #: trades ~15% FLOPs for large activation-memory savings; enables big
+    #: batches / 512^2 crops on one chip.
+    remat: bool = False
 
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)

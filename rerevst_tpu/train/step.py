@@ -44,10 +44,18 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
     metrics: Dict = {}
     aux: Dict = {}
 
+    if cfg.remat:
+        # Rematerialize the decode in the backward pass: activation memory
+        # for the three decode calls per step drops to one checkpoint each.
+        decode_ = jax.checkpoint(
+            lambda pd, f, s: decode(pd, f, s, mcfg), static_argnums=())
+    else:
+        decode_ = lambda pd, f, s: decode(pd, f, s, mcfg)  # noqa: E731
+
     gray_content = rgb_to_luma_reversed(content)
     f_content = vgg.encode(params["encoder"], content, prec)
     sf = encode_style(params, style, mcfg)
-    styled = decode(params["decoder"], f_content, sf, mcfg)
+    styled = decode_(params["decoder"], f_content, sf)
     aux["styled"] = styled
 
     total = 0.0
@@ -74,11 +82,11 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
         metrics.update(content=0.0, new_style=0.0, old_style=0.0)
 
     if lcfg.recon_loss:
-        recon_content = decode(params["decoder"], f_content,
-                               encode_style(params, content, mcfg), mcfg)
+        recon_content = decode_(params["decoder"], f_content,
+                                encode_style(params, content, mcfg))
         gray_style_feat = vgg.encode(params["encoder"],
                                      rgb_to_luma_reversed(style), prec)
-        recon_style = decode(params["decoder"], gray_style_feat, sf, mcfg)
+        recon_style = decode_(params["decoder"], gray_style_feat, sf)
         r_loss = (jnp.mean(jnp.abs(recon_content - content))
                   + jnp.mean(jnp.abs(recon_style - style)))
         total = total + r_loss * lcfg.recon_weight
@@ -98,9 +106,8 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
         mask = extra["BackwardMask"]
         if mask.ndim == 3:
             mask = mask[..., None]
-        styled_next = decode(params["decoder"],
-                             vgg.encode(params["encoder"], nxt, prec),
-                             sf, mcfg)
+        styled_next = decode_(params["decoder"],
+                              vgg.encode(params["encoder"], nxt, prec), sf)
         t_loss, fake_pre = temporal_loss_mpi(styled_next, styled, flow, mask)
         t_gt, _ = temporal_loss_mpi(nxt, content, flow, mask)
         total = total + t_loss * lcfg.temporal_weight
@@ -118,9 +125,8 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
         mask = extra["ForwardMask"]
         if mask.ndim == 3:
             mask = mask[..., None]
-        styled_next = decode(params["decoder"],
-                             vgg.encode(params["encoder"], nxt, prec),
-                             sf, mcfg)
+        styled_next = decode_(params["decoder"],
+                              vgg.encode(params["encoder"], nxt, prec), sf)
         t_loss, fake_cur = temporal_loss_video(styled_next, styled, flow, mask)
         t_gt, _ = temporal_loss_video(nxt, content, flow, mask)
         total = total + t_loss * lcfg.temporal_weight
@@ -129,10 +135,14 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
         aux["styled_second"] = styled_next
         aux["fake_styled_second"] = fake_cur
     elif lcfg.temporal_loss:
-        second, flow = generate_fake_data(key, content, lcfg)
+        if extra is not None and "Second" in extra:
+            # Injected fake pair (determinism / cross-framework tests).
+            second, flow = extra["Second"], extra["FakeFlow"]
+        else:
+            second, flow = generate_fake_data(key, content, lcfg)
         second = lax.stop_gradient(second)
         f_second = vgg.encode(params["encoder"], second, prec)
-        styled_second = decode(params["decoder"], f_second, sf, mcfg)
+        styled_second = decode_(params["decoder"], f_second, sf)
         t_loss, warped = temporal_loss(styled, styled_second, flow,
                                        use_warp=lcfg.data_w)
         t_gt, _ = temporal_loss(content, second, flow, use_warp=lcfg.data_w)
