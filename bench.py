@@ -37,7 +37,7 @@ def main():
                          "1080p inference")
     args = ap.parse_args()
     if args.mode == "1080p":
-        args.size, args.batch = 1080, max(args.batch // 4, 2)
+        args.size, args.batch = 1080, max(args.batch // 2, 4)
     if args.mode == "train":
         bench_train(args)
         return
