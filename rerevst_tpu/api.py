@@ -54,10 +54,13 @@ class Stylization:
 
     def __init__(self, checkpoint: Optional[str] = None, params=None,
                  cfg: Optional[ModelConfig] = None, use_global: bool = True,
-                 infer: Optional[InferenceConfig] = None):
+                 infer: Optional[InferenceConfig] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — Pass 1 reductions and Pass 2
+        frame batches are sharded over its 'data' axis (multi-chip)."""
         self.cfg = cfg or ModelConfig()
         self.infer = infer or InferenceConfig(use_global=use_global)
         self.use_global = use_global
+        self.mesh = mesh
         self.net = TransformerNet(self.cfg)
         if params is None:
             if checkpoint is None:
@@ -134,7 +137,13 @@ class Stylization:
         if self.style is None:
             raise RuntimeError("prepare_style first")
         feats = jnp.concatenate(self._patches, axis=0)
-        self.stats = self._collect(self.params, feats, self.style)
+        if self.mesh is not None:
+            from rerevst_tpu.parallel import collect_stats_sharded
+
+            self.stats = collect_stats_sharded(
+                self.params["decoder"], feats, self.style, self.cfg, self.mesh)
+        else:
+            self.stats = self._collect(self.params, feats, self.style)
         self._patches = []
 
     def transfer(self, frame_bgr: np.ndarray) -> np.ndarray:
@@ -158,6 +167,11 @@ class Stylization:
         if self.use_global:
             if self.stats is None:
                 raise RuntimeError("compute() first (or use_global=False)")
+            if self.mesh is not None and x.shape[0] > 1:
+                from rerevst_tpu.parallel import stylize_frames_sharded
+
+                return stylize_frames_sharded(self.params, x, self.style,
+                                              self.stats, self.cfg, self.mesh)
             return self._stylize_global(self.params, x, self.style, self.stats)
         if self.style is None:
             raise RuntimeError("prepare_style first")
@@ -167,8 +181,8 @@ class Stylization:
         """Pass 1 in one shot over pre-sampled frames (batched add+compute)."""
         self.clean()
         batch = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
-        feats = self._encode_content(self.params, batch)
-        self.stats = self._collect(self.params, feats, self.style)
+        self._patches = [self._encode_content(self.params, batch)]
+        self.compute()
 
     def stylize_video(self, frames_bgr: Sequence[np.ndarray],
                       batch_size: Optional[int] = None) -> Iterator[np.ndarray]:

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global-pass sampling interval")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--ewarp", action="store_true",
+                   help="also report the E_warp temporal-consistency metric "
+                        "of the styled output (Farneback flow)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard Pass 1/2 over this many devices (0 = single)")
     return p
 
 
@@ -50,8 +55,13 @@ def main(argv=None):
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,
                             fps=args.fps)
+    mesh = None
+    if args.devices:
+        from rerevst_tpu.parallel import frame_mesh
+
+        mesh = frame_mesh(args.devices)
     framework = Stylization(args.checkpoint, cfg=cfg, use_global=use_global,
-                            infer=infer)
+                            infer=infer, mesh=mesh)
     framework.prepare_style(vio.read_frame(args.style))
 
     frame_paths = vio.list_frames(args.frames)
@@ -73,8 +83,14 @@ def main(argv=None):
             os.path.join(out_dir, os.path.basename(frame_paths[i])), styled)
         results.append(styled)
     dt = time.time() - t0
-    print(json.dumps({"frames": len(results), "seconds": round(dt, 2),
-                      "fps": round(len(results) / dt, 2), "out": out_dir}))
+    report = {"frames": len(results), "seconds": round(dt, 2),
+              "fps": round(len(results) / dt, 2), "out": out_dir}
+    if args.ewarp and len(results) >= 2:
+        from rerevst_tpu.eval.ewarp import ewarp
+
+        report.update({k: round(v, 4) for k, v in
+                       ewarp(results, frames).items()})
+    print(json.dumps(report))
 
     if not args.no_video:
         vio.write_video(os.path.join(args.video_out, f"{name}.avi"),

