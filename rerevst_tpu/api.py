@@ -126,11 +126,18 @@ class Stylization:
     def clean(self) -> None:
         self._patches = []
         self.stats = None
+        # Geometry re-locks on the next frame (a new clip may differ in size).
+        self._pad_hw = None
 
     def add(self, frame_bgr: np.ndarray) -> None:
-        """Pass 1: encode a sampled frame and buffer its features."""
-        self._patches.append(
-            self._encode_content(self.params, self._prep(frame_bgr)))
+        """Pass 1: encode a sampled frame and buffer its features.
+
+        The reference feeds add() RAW frames — no reflect padding
+        (``test/generate_real_video.py:136-143`` vs the padded Pass-2 loop at
+        ``:159-164``) — so the frozen statistics see only real content.
+        """
+        x = jnp.asarray(bgr_to_model(frame_bgr))
+        self._patches.append(self._encode_content(self.params, x))
 
     def compute(self) -> None:
         """Pass 1 finish: freeze sequence statistics over buffered frames."""
@@ -178,9 +185,11 @@ class Stylization:
         return self._stylize_frame(self.params, x, self.style)
 
     def prepare_global(self, frames_bgr: Sequence[np.ndarray]) -> None:
-        """Pass 1 in one shot over pre-sampled frames (batched add+compute)."""
+        """Pass 1 in one shot over pre-sampled RAW frames (batched
+        add+compute; no padding — see ``add``)."""
         self.clean()
-        batch = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
+        batch = jnp.concatenate(
+            [jnp.asarray(bgr_to_model(f)) for f in frames_bgr], axis=0)
         self._patches = [self._encode_content(self.params, batch)]
         self.compute()
 
@@ -194,8 +203,11 @@ class Stylization:
         n = len(frames_bgr)
         bs = batch_size or self.infer.batch_size
         if self.use_global:
+            # Reference sampling: (n-1)//interval frames at multiples of the
+            # interval, plus the last (``test/generate_real_video.py:133-143``).
             interval = self.infer.sample_interval
-            idx = list(range(0, max(n - 1, 1), interval))
+            sample_sum = (n - 1) // interval
+            idx = [s * interval for s in range(sample_sum)]
             sampled = [frames_bgr[i] for i in idx] + [frames_bgr[-1]]
             self.prepare_global(sampled)
 

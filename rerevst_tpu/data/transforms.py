@@ -22,10 +22,10 @@ def bgr_to_model(img_bgr: np.ndarray) -> np.ndarray:
 def model_to_bgr(x: np.ndarray) -> np.ndarray:
     """Normalized RGB [N,H,W,C] -> BGR uint8 HWC (first sample).
 
-    Matches transform_back_image + tensor2numpy (``test/framework.py:39-49``):
-    denormalize, clamp to [0,1], x255; cv2.imwrite's float->uint8 truncation
-    is reproduced with an explicit cast.
+    Matches transform_back_image + tensor2numpy (``test/framework.py:39-49``)
+    followed by cv2.imwrite, whose CV_8U conversion ROUNDS (saturate_cast /
+    cvRound) — hence rint, not truncation.
     """
     img = x[0] * IMAGENET_STD + IMAGENET_MEAN
     img = np.clip(img, 0.0, 1.0) * 255.0
-    return img[..., ::-1].astype(np.uint8)
+    return np.rint(img[..., ::-1]).astype(np.uint8)

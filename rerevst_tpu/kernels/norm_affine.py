@@ -46,8 +46,12 @@ def norm_affine_clamp(x, st, style_std, style_mean, interpret: bool = False):
     b0 = (-st.mean * st.rstd).reshape(1, c).astype(dt)
     lo = st.xmin.reshape(1, c).astype(dt)
     hi = st.xmax.reshape(1, c).astype(dt)
-    a1 = jnp.broadcast_to(style_std.reshape(-1, c)[:1], (1, c)).astype(dt)
-    b1 = jnp.broadcast_to(style_mean.reshape(-1, c)[:1], (1, c)).astype(dt)
+    if style_std.reshape(-1, c).shape[0] != 1:
+        raise ValueError(
+            "norm_affine_clamp supports a single shared style affine "
+            "([1,1,1,C]); per-sample stats need norm_affine_clamp_xla")
+    a1 = style_std.reshape(1, c).astype(dt)
+    b1 = style_mean.reshape(1, c).astype(dt)
 
     # Pack channels into full 128-wide lanes: view [M, C] as [M/k, 128] with
     # the per-channel vectors tiled k times, so the VPU runs at full width

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +106,11 @@ class MultiStylization:
         if cache_path is not None:
             feats = np.lib.format.open_memmap(
                 cache_path, mode="w+", dtype=np.float32, shape=shape)
+            # Sidecar geometry so a fresh session can decode from the cache.
+            with open(cache_path + ".meta.json", "w") as f:
+                json.dump({"orig_hw": list(self._orig_hw),
+                           "pad_hw": list(self._pad_hw),
+                           "pad": self.infer.pad}, f)
         else:
             feats = np.empty(shape, np.float32)
         feats[0] = np.asarray(first[0])
@@ -111,8 +119,15 @@ class MultiStylization:
                 self._encode_content(self.params, self._prep(f))[0])
         return feats if cache_path is not None else jnp.asarray(feats)
 
-    @staticmethod
-    def load_features(cache_path: str) -> np.ndarray:
+    def load_features(self, cache_path: str) -> np.ndarray:
+        """Reload a feature cache, restoring the session geometry from the
+        sidecar so ``transfer`` works without re-encoding any frame."""
+        meta_path = cache_path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self._orig_hw = tuple(meta["orig_hw"])
+            self._pad_hw = tuple(meta["pad_hw"])
         return np.load(cache_path, mmap_mode="r")
 
     def prepare_global(self, feats: jnp.ndarray,
@@ -121,7 +136,10 @@ class MultiStylization:
         (SeqNormPrePare, ``Multi-style Interpolation/test.py:72-85``)."""
         iv = interval or self.infer.sample_interval
         n = feats.shape[0]
-        idx = list(range(0, n - 1, iv)) + [n - 1]
+        # Reference sampling (``Multi-style Interpolation/test.py:72-84``):
+        # (n-1)//iv + 1 interval frames, THEN the last frame again — the
+        # duplicate (when iv divides n-1) is part of reference behavior.
+        idx = [s * iv for s in range((n - 1) // iv + 1)] + [n - 1]
         if isinstance(feats, np.ndarray):  # includes disk-backed memmaps
             sampled = jnp.asarray(np.stack([feats[i] for i in idx]))
         else:

@@ -103,9 +103,9 @@ def crop_back(img, orig_h: int, orig_w: int, pad: int = 64):
 def to_uint8(img):
     """Normalized NHWC -> uint8 RGB (clamped), for writing out frames.
 
-    Matches transform_back_image (``test/framework.py:44-49``): denormalize,
-    clamp to [0,1], scale by 255.  PyTorch then float->uint8 casts (truncates)
-    in cv2.imwrite; we round-trip via clipping and truncation the same way.
+    Matches transform_back_image (``test/framework.py:44-49``) followed by
+    cv2.imwrite, whose CV_8U conversion rounds (cvRound) — hence round before
+    the cast.
     """
     x = jnp.clip(denormalize(img), 0.0, 1.0) * 255.0
-    return x.astype(jnp.uint8)
+    return jnp.round(x).astype(jnp.uint8)

@@ -7,6 +7,8 @@ partition the whole encoder+decoder — zero collectives in the hot loop.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 from jax.sharding import Mesh
 
@@ -20,24 +22,33 @@ from rerevst_tpu.models.transformer import (
 from rerevst_tpu.parallel.mesh import pad_to_multiple, replicated, sharded_batch
 
 
-def stylize_frames_sharded(params, frames, style: StyleFeatures,
-                           stats: SeqStats, cfg: ModelConfig, mesh: Mesh):
-    """Stylize a frame batch with the batch axis sharded over `mesh`.
-
-    `frames` [N,H,W,3] normalized RGB; returns [N,H,W,3].  N is padded to a
-    device multiple internally and cropped back.
-    """
-    ndev = mesh.devices.size
-    n = frames.shape[0]
-    frames, _ = pad_to_multiple(frames, ndev, axis=0)
-
+@functools.lru_cache(maxsize=None)
+def _run_fn(cfg: ModelConfig):
+    # One jitted program per model config — reused across every call so the
+    # hot loop never retraces (ModelConfig is a frozen, hashable dataclass).
     @jax.jit
     def run(params, frames, style, stats):
         f = encode_content(params, frames, cfg, desaturate=True)
         return decode_global(params["decoder"], f, style, stats, cfg)
 
+    return run
+
+
+def stylize_frames_sharded(params, frames, style: StyleFeatures,
+                           stats: SeqStats, cfg: ModelConfig, mesh: Mesh):
+    """Stylize a frame batch with the batch axis sharded over `mesh`.
+
+    `frames` [N,H,W,3] normalized RGB; returns [N,H,W,3].  N is padded to a
+    device multiple internally and cropped back.  device_put is a no-op for
+    operands already laid out correctly, so repeated calls only move the new
+    frame batch.
+    """
+    ndev = mesh.devices.size
+    n = frames.shape[0]
+    frames, _ = pad_to_multiple(frames, ndev, axis=0)
+
     frames = jax.device_put(frames, sharded_batch(mesh))
     params, style, stats = jax.device_put((params, style, stats),
                                           replicated(mesh))
-    out = run(params, frames, style, stats)
+    out = _run_fn(cfg)(params, frames, style, stats)
     return out[:n]

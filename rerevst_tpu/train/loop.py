@@ -117,7 +117,26 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
             state = TrainState(p, o, jnp.asarray(start_step, jnp.int32))
             print(f"resumed from {path} @ step {start_step}")
 
-    step_fn = make_train_step(cfg, state.params)
+    d_state = None
+    if cfg.loss.adversarial_loss:
+        # LSGAN alternating D/G update (``train/train.py:275-287,320-415``).
+        from rerevst_tpu.models.discriminator import init_discriminator_params
+        from rerevst_tpu.train.step import make_adversarial_train_step
+
+        d_params = init_discriminator_params(
+            jax.random.PRNGKey(cfg.seed + 99))
+        adv_step, d_opt = make_adversarial_train_step(cfg, state.params,
+                                                      d_params)
+        d_state = TrainState(d_params, d_opt.init(d_params),
+                             jnp.zeros((), jnp.int32))
+
+        def step_fn(state, content, style, key, extra=None):
+            nonlocal d_state
+            state, d_state, metrics = adv_step(state, d_state, content,
+                                               style, key)
+            return state, metrics
+    else:
+        step_fn = make_train_step(cfg, state.params)
     loader = get_loader(cfg.batch_size, cfg.load_size, cfg.fine_size,
                         cfg.flip, cfg.content_data, cfg.style_data,
                         num_workers=cfg.num_workers, seed=cfg.seed,
@@ -164,6 +183,11 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                     min_total = cur_total
                     save_train_state(cfg.out_dir, it, state.params,
                                      state.opt_state)
+                    if d_state is not None:
+                        from rerevst_tpu.io.checkpoint import save_params
+
+                        save_params(os.path.join(cfg.out_dir, "netD.msgpack"),
+                                    d_state.params)
                 cur_total = 0.0
                 if validation is not None:
                     validation.save_results(state.params, epoch)

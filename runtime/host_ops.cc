@@ -69,9 +69,8 @@ void rerevst_postprocess(const float* src, int in_h, int in_w, int pad,
       for (int c = 0; c < 3; ++c) {
         float v = srow[x * 3 + c] * kStd[c] + kMean[c];
         v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);
-        // Reference pipeline truncates on the float->uint8 cast
-        // (test/framework.py:48 then cv2.imwrite).
-        drow[x * 3 + (2 - c)] = static_cast<uint8_t>(v * 255.0f);
+        // cv2.imwrite's CV_8U conversion rounds (cvRound), so round here.
+        drow[x * 3 + (2 - c)] = static_cast<uint8_t>(v * 255.0f + 0.5f);
       }
     }
   }

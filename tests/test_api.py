@@ -170,7 +170,7 @@ class TestMultiStyle:
         cache = str(tmp_path / "feats.npy")
         feats = ms.encode_frames(frames[:3], cache_path=cache)
         assert isinstance(feats, np.ndarray)
-        reloaded = MultiStylization.load_features(cache)
+        reloaded = ms.load_features(cache)
         np.testing.assert_array_equal(np.asarray(feats), np.asarray(reloaded))
         ms.prepare_global(reloaded, interval=2)
         out = ms.transfer(jnp.asarray(np.asarray(reloaded[0:1])), [1.0])

