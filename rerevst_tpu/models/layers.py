@@ -21,8 +21,16 @@ import numpy as np
 from jax import lax
 
 
-def precision_for(dtype) -> lax.Precision:
-    """fp32 params -> HIGHEST (parity); low precision -> DEFAULT (speed)."""
+def precision_for(dtype, override: str = "auto") -> lax.Precision:
+    """fp32 params -> HIGHEST (parity); low precision -> DEFAULT (speed).
+
+    `override` ('default' | 'high' | 'highest') forces a specific level —
+    'high' (bf16x3) is the fast fp32 middle ground.
+    """
+    if override and override != "auto":
+        return {"default": lax.Precision.DEFAULT,
+                "high": lax.Precision.HIGH,
+                "highest": lax.Precision.HIGHEST}[override]
     return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
 
 

@@ -180,13 +180,13 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
     """
     x = rgb_to_luma_reversed(frame) if desaturate else frame
     return vgg.encode(params["encoder"], x.astype(cfg.dtype),
-                      precision=precision_for(cfg.dtype))
+                      precision=precision_for(cfg.dtype, cfg.precision))
 
 
 def encode_style(params: Dict, style, cfg: ModelConfig) -> StyleFeatures:
     """EncoderStyle: per-tap (mean, std) + raw relu4_1 map."""
     feats = vgg.vgg_features(params["encoder_style"], style.astype(cfg.dtype),
-                             "relu4_1", precision=precision_for(cfg.dtype))
+                             "relu4_1", precision=precision_for(cfg.dtype, cfg.precision))
     means, stds = [], []
     for tap in feats:
         m, s = mean_std(tap, eps=cfg.mean_std_eps)
@@ -206,7 +206,7 @@ def _instance_norm(x, eps):
 
 def _predict_filter(p, content, style_map, cfg: ModelConfig):
     """FilterPredictor.forward (``train/style_networks.py:136-145``)."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     pc = jnp.mean(conv2d(p["down"], content, padding=1, precision=prec), (1, 2))
     ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
     if ps.shape[0] == 1 and pc.shape[0] != 1:
@@ -218,7 +218,7 @@ def _predict_filter(p, content, style_map, cfg: ModelConfig):
 
 def _predict_filter_s(p, style_map, cfg: ModelConfig):
     """FilterPredictor_S.forward (``train/style_networks.py:200-206``)."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     ps = jnp.mean(conv2d(p["down"], style_map, padding=1, precision=prec), (1, 2))
     f = linear(p["fc"], ps, precision=prec)
     ic = cfg.filter_channels
@@ -227,7 +227,7 @@ def _predict_filter_s(p, style_map, cfg: ModelConfig):
 
 def _kernel_filter(p, content, style_map, cfg: ModelConfig):
     """KernelFilter.forward (``train/style_networks.py:180-188``)."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     h = conv2d(p["down"], content, padding=1, precision=prec)
     if cfg.both_sty_con:
         h = apply_dynamic_filter(h, _predict_filter(p["p1"], content, style_map, cfg), prec)
@@ -247,7 +247,7 @@ def _resblock(p, x, cfg: ModelConfig, upsample: bool = True):
     low res — see ``upsample2x_conv3x3``) and hoisted below the 1x1 shortcut
     (exact for nearest upsampling): the 2x-res intermediate never exists.
     """
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     if upsample:
         xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
                                         precision=prec))
@@ -268,7 +268,7 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
     (``train/style_networks.py:411-424``); no extra norm site exists between
     the filters and res4 (unlike the global graph).
     """
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
 
@@ -314,7 +314,7 @@ def _norm_apply(st: NormStats, x):
 def _kernel_filter_frozen(p, content, fa, fb, cfg: ModelConfig):
     """KernelFilter.forward with frozen filters
     (``test/style_network_global.py:210-217``)."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     h = conv2d(p["down"], content, padding=1, precision=prec)
     h = apply_dynamic_filter(h, fa, prec)
     h = leaky_relu(h)
@@ -326,7 +326,7 @@ def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     """ResidualBlock.forward with frozen norms
     (``test/style_network_global.py:111-122``); upsample folded into conv1
     and hoisted below the shortcut as in ``_resblock``."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
                                     precision=prec))
     h = upsample2x_conv3x3(p["conv1"], x, precision=prec)
@@ -344,7 +344,7 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     min/max clamping; the filter chain's output is re-normalized at an extra
     site ('ada4') before the style affine; filters come frozen from `stats`.
     """
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
     norms, filt = stats.norms, stats.filters
@@ -412,7 +412,7 @@ def _filter_compute(p, content_batch, style_map, cfg: ModelConfig, psum=None,
                     mask=None):
     """FilterPredictor.compute (``test/style_network_global.py:161-172``):
     content pooled over the whole sampled batch -> one filter per sequence."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     pc = jnp.mean(conv2d(p["down"], content_batch, padding=1, precision=prec), (1, 2))
     if psum is None and mask is None:
         pc = jnp.mean(pc, axis=0, keepdims=True)
@@ -447,7 +447,7 @@ def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
 
     h, norms["pre"] = _norm_compute(x, cfgN, reduce_fns, mask)
     ns = (style.map - m4) / s4
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
 
     for i, name in ((1, "filter1"), (2, "filter2"), (3, "filter3")):
         p = params_dec[name]

@@ -63,7 +63,7 @@ def _prefix_to(params_dec: Dict, x, style: StyleFeatures, stats: Dict,
                filters: Dict, cfg: ModelConfig, upto: str):
     """Run the frozen-stats decode prefix; return the tensor the stage `upto`
     reduces over (plus, for filter stages, the pooled-style vector source)."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
     ns = (style.map - m4) / s4
@@ -149,7 +149,7 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
               for i in range(0, n, chunk_size)]
     norms: Dict[str, NormStats] = {}
     filters: Dict[str, jnp.ndarray] = {}
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
 
     # Style-side pooled predictor inputs are frame-independent: precompute.
     m4, s4 = style.means[3], style.stds[3]
@@ -197,7 +197,7 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
 def _pool_pred(fprm, chunks, params_dec, style, norms, filters, cfg, stage):
     """Pooled predictor-content vector for one FilterPredictor: mean over all
     frames of the spatial mean of its own down conv."""
-    prec = precision_for(cfg.dtype)
+    prec = precision_for(cfg.dtype, cfg.precision)
 
     @jax.jit
     def f(x):

@@ -40,7 +40,7 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
     second frame (``train/train.py:375-384``).
     """
     mcfg, lcfg = cfg.model, cfg.loss
-    prec = precision_for(mcfg.dtype)
+    prec = precision_for(mcfg.dtype, mcfg.precision)
     metrics: Dict = {}
     aux: Dict = {}
 
