@@ -139,17 +139,36 @@ class Stylization:
         x = jnp.asarray(bgr_to_model(frame_bgr))
         self._patches.append(self._encode_content(self.params, x))
 
+    #: Above this many sampled frames, single-chip Pass 1 switches to the
+    #: bounded-memory streaming collection (the batched pass materializes
+    #: every decoder activation for the whole sample batch at once).
+    STREAMING_THRESHOLD = 64
+
     def compute(self) -> None:
-        """Pass 1 finish: freeze sequence statistics over buffered frames."""
+        """Pass 1 finish: freeze sequence statistics over buffered frames.
+
+        Strategy: sharded reductions on a mesh; streaming (bounded memory)
+        for very long sample sets; batched otherwise.
+        """
         if self.style is None:
             raise RuntimeError("prepare_style first")
-        feats = jnp.concatenate(self._patches, axis=0)
+        n = sum(p.shape[0] for p in self._patches)
         if self.mesh is not None:
+            feats = jnp.concatenate(self._patches, axis=0)
             from rerevst_tpu.parallel import collect_stats_sharded
 
             self.stats = collect_stats_sharded(
                 self.params["decoder"], feats, self.style, self.cfg, self.mesh)
+        elif n > self.STREAMING_THRESHOLD:
+            from rerevst_tpu.parallel.streaming import collect_stats_streaming
+
+            feats_host = np.concatenate(
+                [np.asarray(p, np.float32) for p in self._patches], axis=0)
+            self.stats = collect_stats_streaming(
+                self.params["decoder"], feats_host, self.style, self.cfg,
+                chunk_size=8)
         else:
+            feats = jnp.concatenate(self._patches, axis=0)
             self.stats = self._collect(self.params, feats, self.style)
         self._patches = []
 

@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the styled output (Farneback flow)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard Pass 1/2 over this many devices (0 = single)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     return p
 
 
@@ -76,12 +78,21 @@ def main(argv=None):
     out_dir = os.path.join(args.out, name)
     os.makedirs(out_dir, exist_ok=True)
 
+    import contextlib
+
+    from rerevst_tpu.profiling import PhaseTimer, trace
+
+    timer = PhaseTimer()
     t0 = time.time()
     results = []
-    for i, styled in enumerate(framework.stylize_video(frames, args.batch)):
-        vio.write_frame(
-            os.path.join(out_dir, os.path.basename(frame_paths[i])), styled)
-        results.append(styled)
+    with (trace(args.trace) if args.trace else contextlib.nullcontext()):
+        with timer.phase("stylize+write"):
+            for i, styled in enumerate(
+                    framework.stylize_video(frames, args.batch)):
+                vio.write_frame(
+                    os.path.join(out_dir, os.path.basename(frame_paths[i])),
+                    styled)
+                results.append(styled)
     dt = time.time() - t0
     report = {"frames": len(results), "seconds": round(dt, 2),
               "fps": round(len(results) / dt, 2), "out": out_dir}
