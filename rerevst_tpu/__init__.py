@@ -21,4 +21,26 @@ Design stance (vs. the PyTorch reference):
 
 __version__ = "0.1.0"
 
-from rerevst_tpu.config import ModelConfig  # noqa: F401
+from rerevst_tpu.config import (  # noqa: F401
+    InferenceConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def __getattr__(name):
+    # Lazy top-level API (avoids importing cv2/optax for config-only users).
+    if name == "Stylization":
+        from rerevst_tpu.api import Stylization
+
+        return Stylization
+    if name == "MultiStylization":
+        from rerevst_tpu.multistyle import MultiStylization
+
+        return MultiStylization
+    if name == "TransformerNet":
+        from rerevst_tpu.models.transformer import TransformerNet
+
+        return TransformerNet
+    raise AttributeError(name)
