@@ -100,6 +100,45 @@ class Validation:
                 self.out_dir, f"Epoch[{epoch}]-validation-{i}.png"), row)
 
 
+def _dump_diagnostics(params, content, style, key, cfg, epoch, extra):
+    """The reference's per-log diagnostic image dumps
+    (``train/train.py:459-474``): input pair, styled result, relaxed-warped
+    style + residual, recon outputs, fake second frame trio."""
+    import cv2
+
+    from rerevst_tpu.train.step import compute_losses
+
+    _, (_, aux) = compute_losses(params, content, style, key, cfg, extra)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    def dump(name, x, is_image=True):
+        if x is None:
+            return
+        arr = np.asarray(x, np.float32)
+        if is_image:
+            img = model_to_bgr(arr)
+        else:
+            a = arr[0]
+            rng_ = a.max() - a.min()
+            img = ((a - a.min()) / (rng_ + 1e-8) * 255)[..., ::-1]
+            img = img.astype(np.uint8)
+        cv2.imwrite(os.path.join(cfg.out_dir, f"{epoch}_{name}.png"), img)
+
+    dump("FirstFrame", content)
+    dump("Style", style)
+    dump("StyledFirstFrame", aux.get("styled"))
+    if "relaxed_style" in aux:
+        dump("RelaxedStyledFirstFrame", aux["relaxed_style"])
+        dump("RelaxedResidual",
+             np.abs(np.asarray(aux["relaxed_style"], np.float32)
+                    - np.asarray(style, np.float32)), is_image=False)
+    dump("ReconFirstFrame", aux.get("recon_content"))
+    dump("ReconFirstStyle", aux.get("recon_style"))
+    dump("SecondFrame", aux.get("second"))
+    dump("StyledSecondFrame", aux.get("styled_second"))
+    dump("FakeStyledSecondFrame_1", aux.get("fake_styled_second"))
+
+
 def train(cfg: TrainConfig, params: Optional[Dict] = None,
           max_steps: Optional[int] = None, resume: bool = False) -> TrainState:
     """Run training; returns the final state."""
@@ -191,6 +230,8 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                 cur_total = 0.0
                 if validation is not None:
                     validation.save_results(state.params, epoch)
+                _dump_diagnostics(state.params, content, style, key, cfg,
+                                  epoch, extra)
 
             if max_steps is not None and it - int(start_step) >= max_steps:
                 done = True
