@@ -14,8 +14,7 @@ after the first frame exactly like the reference's ReshapeTool
 
 from __future__ import annotations
 
-import functools
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ from rerevst_tpu.models.transformer import (
     SeqStats,
     StyleFeatures,
     TransformerNet,
-    blend_pytrees,
     collect_stats,
     decode,
     decode_global,

@@ -8,8 +8,6 @@ Replaces the reference's argparse-only training config
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 
 

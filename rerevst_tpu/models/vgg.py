@@ -15,7 +15,7 @@ Slice boundaries (torchvision features indices):
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ reassociation.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

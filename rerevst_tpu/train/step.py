@@ -8,7 +8,6 @@ psum-averaged (``make_sharded_train_step``).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
