@@ -153,17 +153,21 @@ def init_decoder_params(key, cfg: ModelConfig) -> Dict:
     return params
 
 
-def init_transformer_params(key, cfg: ModelConfig, with_loss_net: bool = True) -> Dict:
+def init_transformer_params(key, cfg: ModelConfig, with_loss_net: bool = True,
+                            vgg_scheme: str = "torch") -> Dict:
+    """`vgg_scheme='he_relu'` gives magnitude-preserving VGG features — the
+    right choice when training from scratch without pretrained VGG weights
+    (see ``vgg.init_vgg_params``)."""
     ke, ks, kv, kd = jax.random.split(key, 4)
     params = {
-        "encoder": vgg.init_vgg_params(ke, cfg.dtype),
-        "encoder_style": vgg.init_vgg_params(ks, cfg.dtype),
+        "encoder": vgg.init_vgg_params(ke, cfg.dtype, vgg_scheme),
+        "encoder_style": vgg.init_vgg_params(ks, cfg.dtype, vgg_scheme),
         "decoder": init_decoder_params(kd, cfg),
     }
     if with_loss_net:
         # Frozen loss network (deleted after style prep at inference,
         # test/style_network_global.py:465-469).
-        params["vgg_loss"] = vgg.init_vgg_params(kv, cfg.dtype)
+        params["vgg_loss"] = vgg.init_vgg_params(kv, cfg.dtype, vgg_scheme)
     return params
 
 

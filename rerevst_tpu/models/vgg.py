@@ -66,12 +66,30 @@ class VggFeatures(NamedTuple):
     relu4_1: jnp.ndarray
 
 
-def init_vgg_params(key, dtype=jnp.float32) -> Dict:
+def init_vgg_params(key, dtype=jnp.float32, scheme: str = "torch") -> Dict:
+    """scheme='torch': nn.Conv2d default (matches an untrained reference —
+    but activations shrink ~2x per layer, so deep features are ~1e-4 scale).
+    scheme='he_relu': ReLU-gain He-normal — feature magnitudes stay O(1)
+    through all 11 convs, which keeps perceptual losses meaningful when no
+    pretrained VGG weights are available."""
     keys = jax.random.split(key, len(VGG_CONVS))
-    return {
-        name: init_conv_torch_default(k, 3, 3, cin, cout, dtype=dtype)
-        for k, (name, cin, cout) in zip(keys, VGG_CONVS)
-    }
+    if scheme == "torch":
+        return {
+            name: init_conv_torch_default(k, 3, 3, cin, cout, dtype=dtype)
+            for k, (name, cin, cout) in zip(keys, VGG_CONVS)
+        }
+    if scheme != "he_relu":
+        raise ValueError(scheme)
+    import math
+
+    params = {}
+    for k, (name, cin, cout) in zip(keys, VGG_CONVS):
+        std = math.sqrt(2.0 / (9 * cin))
+        params[name] = {
+            "w": jax.random.normal(k, (3, 3, cin, cout), dtype) * std,
+            "b": jnp.zeros((cout,), dtype),
+        }
+    return params
 
 
 def from_torch_features(state_dict, prefix: str = "", dtype=jnp.float32) -> Dict:

@@ -83,6 +83,7 @@ def test_masked_collect_equals_unpadded(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_collect_matches_batched(setup):
     """Bounded-memory streaming collection (the working replacement of the
     reference's broken disk-spill long-video path) == batched collection."""
