@@ -70,3 +70,30 @@ class TestProfiling:
         with t.phase("a"):
             pass
         assert "a" in t.report()
+
+
+class TestVggInitSchemes:
+    def test_he_relu_preserves_magnitude(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from rerevst_tpu.models import vgg
+
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        p_t = vgg.init_vgg_params(jax.random.PRNGKey(0), scheme="torch")
+        p_h = vgg.init_vgg_params(jax.random.PRNGKey(0), scheme="he_relu")
+        f_t = vgg.vgg_features(p_t, x)
+        f_h = vgg.vgg_features(p_h, x)
+        # torch-default shrinks deep activations; he_relu keeps them O(1).
+        assert float(jnp.std(f_h.relu4_1)) > 0.3
+        assert float(jnp.std(f_h.relu4_1)) > 20 * float(jnp.std(f_t.relu4_1))
+        dead = float((jnp.max(f_h.relu4_1, (0, 1, 2)) == 0).mean())
+        assert dead < 0.25
+
+    def test_unknown_scheme_raises(self):
+        import jax
+
+        from rerevst_tpu.models import vgg
+
+        with pytest.raises(ValueError):
+            vgg.init_vgg_params(jax.random.PRNGKey(0), scheme="nope")
