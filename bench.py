@@ -42,7 +42,7 @@ def main():
         bench_train(args)
         return
     if args.quick:
-        args.frames, args.reps = 2 * args.batch, 1
+        args.frames, args.reps = 2 * args.batch, 2
 
     from rerevst_tpu.config import ModelConfig
     from rerevst_tpu.models.transformer import (
