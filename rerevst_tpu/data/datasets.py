@@ -296,12 +296,18 @@ class Loader:
         stop = object()
 
         def worker(my_batches):
-            for b in my_batches:
-                items = [self.ds[i] for i in b]
-                out = {k: np.stack([it[k] for it in items])
-                       for k in items[0]}
-                q.put(out)
-            q.put(stop)
+            # Always emit the stop sentinel (exception included) — a dead
+            # worker must never deadlock the consumer.
+            err = None
+            try:
+                for b in my_batches:
+                    items = [self.ds[i] for i in b]
+                    out = {k: np.stack([it[k] for it in items])
+                           for k in items[0]}
+                    q.put(out)
+            except BaseException as e:  # noqa: BLE001 — reraised below
+                err = e
+            q.put((stop, err))
 
         n_w = min(self.workers, max(len(batches), 1))
         shards = [batches[i::n_w] for i in range(n_w)]
@@ -312,8 +318,10 @@ class Loader:
         done = 0
         while done < n_w:
             item = q.get()
-            if item is stop:
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
                 done += 1
+                if item[1] is not None:
+                    raise RuntimeError("data loader worker failed") from item[1]
             else:
                 yield item
 

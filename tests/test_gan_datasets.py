@@ -153,3 +153,22 @@ class TestDatasets:
                             content_path=cdir, style_path=sdir)
         batch = next(iter(loader))
         assert set(batch) == {"Content", "Style"}
+
+
+class TestLoaderRobustness:
+    def test_worker_exception_propagates(self):
+        from rerevst_tpu.data.datasets import Loader
+
+        class Broken:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise IOError("corrupt image")
+                return {"Content": np.zeros((4, 4, 3), np.float32)}
+
+        loader = Loader(Broken(), batch_size=2, num_workers=2, seed=0,
+                        shuffle=False)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            list(loader)
