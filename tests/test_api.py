@@ -247,3 +247,24 @@ class TestEwarp:
         # styled==original -> ewarp equals the control exactly.
         assert abs(r["ewarp"] - r["ewarp_control"]) < 1e-6
         assert r["pairs"] == len(frames) - 1
+
+
+class TestBundledDemoModel:
+    def test_demo_checkpoint_stylizes(self, fixture_frames):
+        """The committed demo checkpoint loads and stylizes end to end."""
+        import jax.numpy as jnp_
+
+        path = "/root/repo/models/demo_plum_4000.msgpack"
+        if not os.path.exists(path):
+            pytest.skip("demo checkpoint not present")
+        s = Stylization(checkpoint=path,
+                        cfg=ModelConfig(dtype=jnp_.bfloat16), infer=INFER)
+        frames, style = fixture_frames
+        s.prepare_style(style)
+        s.prepare_global([frames[0], frames[2], frames[4]])
+        a = s.transfer(frames[0])
+        b = s.transfer(frames[0])
+        assert a.shape == frames[0].shape
+        np.testing.assert_array_equal(a, b)
+        # Trained model: output must be strongly structured, not constant.
+        assert a.std() > 15
