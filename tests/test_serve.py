@@ -1,0 +1,108 @@
+"""Serving layer: drive the HTTP service end to end over a real socket."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import serve
+
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    params["decoder"] = jax.tree.map(lambda a: a * 5.0, params["decoder"])
+    ckpt = str(tmp_path_factory.mktemp("srv") / "m.msgpack")
+    save_params(ckpt, params)
+
+    server = serve(ckpt, port=0, dtype="f32")  # port 0: pick a free one
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _post(url, body, ctype="application/octet-stream"):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def _png(img):
+    import cv2
+
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return buf.tobytes()
+
+
+@pytest.fixture(scope="module")
+def clip():
+    cv2 = pytest.importorskip("cv2")
+    frames = [cv2.imread(
+        f"/root/reference/test/inputs/ambush_4/frame_{i:04d}.png")[:64, :96]
+        for i in (1, 2, 3)]
+    style = cv2.resize(
+        cv2.imread("/root/reference/test/inputs/plum_flower.jpg"), (64, 64))
+    return frames, style
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=60) as r:
+        data = json.loads(r.read())
+    assert data["ok"] is True
+
+
+def test_two_pass_protocol_over_http(server_url, clip):
+    frames, style = clip
+    s, _, _ = _post(server_url + "/style", _png(style))
+    assert s == 200
+    for i, f in enumerate(frames):
+        last = "1" if i == len(frames) - 1 else "0"
+        s, _, _ = _post(server_url + f"/pass1?last={last}", _png(f))
+        assert s == 200
+    s, body, ctype = _post(server_url + "/stylize", _png(frames[0]))
+    assert s == 200 and ctype == "image/png"
+    import cv2
+
+    out = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    assert out.shape == frames[0].shape
+
+
+def test_video_endpoint(server_url, clip):
+    frames, style = clip
+    _post(server_url + "/style", _png(style))
+    bio = io.BytesIO()
+    np.savez_compressed(bio, **{f"f{i:05d}": f for i, f in enumerate(frames)})
+    s, body, _ = _post(server_url + "/video?interval=2", bio.getvalue())
+    assert s == 200
+    with np.load(io.BytesIO(body)) as z:
+        outs = [z[k] for k in sorted(z.files)]
+    assert len(outs) == len(frames)
+    assert outs[0].shape == frames[0].shape
+
+
+def test_bad_payload_is_a_clean_400(server_url):
+    s, body, _ = _post(server_url + "/stylize", b"not an image")
+    assert s == 400
+    assert "error" in json.loads(body)
+
+
+def test_unknown_route_404(server_url):
+    s, _, _ = _post(server_url + "/nope", b"")
+    assert s == 404
