@@ -54,7 +54,14 @@ class MultiStylization:
         self.cfg = cfg or ModelConfig()
         self.infer = infer or InferenceConfig(sample_interval=16)
         if params is None:
-            params = load_reference_checkpoint(checkpoint)
+            if checkpoint is None:
+                raise ValueError("need checkpoint or params")
+            if checkpoint.endswith(".pth"):
+                params = load_reference_checkpoint(checkpoint)
+            else:
+                from rerevst_tpu.io.checkpoint import load_params
+
+                params = load_params(checkpoint)
         self.params = jax.device_put(
             {k: v for k, v in params.items() if k != "vgg_loss"})
         self.styles: List[StyleFeatures] = []

@@ -1,0 +1,79 @@
+"""CLI surfaces: stylize / interpolate / convert mains, end to end on tiny data."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def tiny_clip(tmp_path_factory, ):
+    cv2 = pytest.importorskip("cv2")
+    d = tmp_path_factory.mktemp("clip")
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        src = cv2.imread(
+            f"/root/reference/test/inputs/ambush_4/frame_{i+1:04d}.png")
+        cv2.imwrite(str(d / f"f{i:03d}.png"), src[:64, :96])
+    style = str(d / "style.jpg")
+    cv2.imwrite(style, cv2.resize(
+        cv2.imread("/root/reference/test/inputs/plum_flower.jpg"), (64, 64)))
+    return str(d), style
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+
+    p = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                with_loss_net=False)
+    p["decoder"] = jax.tree.map(lambda a: a * 5.0, p["decoder"])
+    path = str(tmp_path_factory.mktemp("ck") / "m.msgpack")
+    save_params(path, p)
+    return path
+
+
+def test_stylize_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
+    from rerevst_tpu import stylize
+
+    clip, style = tiny_clip
+    out = str(tmp_path / "frames")
+    vout = str(tmp_path / "videos")
+    stylize.main(["--style", style, "--frames", f"{clip}/f*.png",
+                  "--checkpoint", ckpt, "-o", out, "--video-out", vout,
+                  "--batch", "2", "--interval", "2", "--ewarp"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    assert "ewarp" in report
+    assert len(glob.glob(os.path.join(out, "*", "*.png"))) == 5
+    assert glob.glob(os.path.join(vout, "*.avi"))
+
+
+def test_interpolate_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
+    from rerevst_tpu import interpolate
+
+    clip, style = tiny_clip
+    out = str(tmp_path / "interp")
+    interpolate.main(["--styles", style,
+                      f"{clip}/f001.png",  # second "style": reuse a frame
+                      "--frames", f"{clip}/f*.png", "--checkpoint", ckpt,
+                      "-o", out, "--interval", "2", "--style-size", "64"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    assert len(glob.glob(os.path.join(out, "*.png"))) == 5
+
+
+def test_convert_cli(ckpt, tmp_path, capsys):
+    from rerevst_tpu import convert
+
+    pth = str(tmp_path / "m.pth")
+    convert.main([ckpt, pth])
+    back = str(tmp_path / "m2.msgpack")
+    convert.main([pth, back])
+    assert os.path.getsize(back) > 1000
