@@ -52,6 +52,15 @@ def save_train_state(out_dir: str, step: int, params: Dict,
     return path
 
 
+def checkpoint_at_step(out_dir: str, step: int) -> Optional[Tuple[str, int]]:
+    """Select a specific step's checkpoint — the analog of the reference's
+    ``--load_epoch`` glob (``train/train.py:148-153``)."""
+    path = os.path.join(out_dir, f"ckpt-step{step:08d}.msgpack")
+    if os.path.exists(path):
+        return path, step
+    return None
+
+
 def latest_checkpoint(out_dir: str) -> Optional[Tuple[str, int]]:
     paths = sorted(glob.glob(os.path.join(out_dir, "ckpt-step*.msgpack")))
     if not paths:

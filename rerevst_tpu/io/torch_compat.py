@@ -151,3 +151,85 @@ def load_reference_checkpoint(path: str, dtype=np.float32) -> Dict:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return from_reference_state_dict(sd, dtype)
+
+
+# --- LoadPretrained: the reference's 3-stage fallback -----------------------
+
+#: Ancient ReReVST schema: an extra 512->512 1x1 conv the reference tolerates
+#: by temporarily attaching a dummy module (``train/train.py:144-146``).
+_LEGACY_KEYS = ("Decoder.conv_kernel.weight", "Decoder.conv_kernel.bias")
+
+
+def _covers(partial, template) -> bool:
+    """Does `partial` provide every subtree/leaf of `template`?"""
+    if isinstance(template, dict):
+        if not isinstance(partial, dict):
+            return False
+        return all(k in partial and _covers(partial[k], template[k])
+                   for k in template)
+    return np.shape(partial) == np.shape(template)
+
+
+def _graft(template, partial, path=""):
+    """Overlay `partial` onto `template` (template keys only; shapes must
+    match where provided).  Leaves are cast to the template leaf's dtype."""
+    if isinstance(template, dict):
+        part = partial if isinstance(partial, dict) else {}
+        return {k: _graft(v, part.get(k), f"{path}.{k}" if path else k)
+                for k, v in template.items()}
+    if partial is None:
+        return template
+    t = np.asarray(template)
+    p = np.asarray(partial)
+    if p.shape != t.shape:
+        raise ValueError(
+            f"pretrained leaf {path}: shape {p.shape} != model {t.shape}")
+    return p.astype(t.dtype)
+
+
+def graft_pretrained_state_dict(state_dict: Dict, template: Dict,
+                                dtype=np.float32):
+    """The reference's 3-stage ``LoadPretrained`` (``train/train.py:124-146``)
+    as a functional graft onto `template` (a freshly-initialised pytree):
+
+    1. ``direct``  — the checkpoint covers the whole template tree.
+    2. ``subtree`` — a flags-off / half-pretrained checkpoint (e.g. no
+       ``Filter*`` or ``Vgg19``): graft Encoder / EncoderStyle /
+       Decoder.slice1-4 and keep the template's dynamic filters + loss net,
+       exactly what the reference's module-copy graft does.
+    3. ``legacy``  — the old ``Decoder.conv_kernel`` schema: the extra keys
+       are stripped (the reference attaches a dummy conv, loads, deletes it).
+
+    Returns ``(params, stage)``.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    stage = "direct"
+    if any(k in sd for k in _LEGACY_KEYS):
+        stage = "legacy"
+        for k in _LEGACY_KEYS:
+            sd.pop(k, None)
+    partial = from_reference_state_dict(sd, dtype)
+    if not partial:
+        raise ValueError("state_dict contains no recognizable ReReVST keys")
+    if stage == "direct" and not _covers(partial, template):
+        stage = "subtree"
+    return _graft(template, partial), stage
+
+
+def load_pretrained(path: str, template: Dict, dtype=np.float32):
+    """Initialise training from a checkpoint in any supported format:
+    reference ``.pth`` (with the 3-stage fallback above) or our native
+    ``.msgpack`` (bare params or a full train-state blob; missing subtrees
+    keep the template init).  Returns ``(params, stage)``."""
+    if path.endswith(".msgpack"):
+        from rerevst_tpu.io.checkpoint import load_params
+
+        raw = load_params(path)
+        if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+            raw = raw["params"]
+        stage = "direct" if _covers(raw, template) else "subtree"
+        return _graft(template, raw), stage
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return graft_pretrained_state_dict(sd, template, dtype)

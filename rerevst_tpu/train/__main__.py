@@ -22,6 +22,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--log", type=int, default=1000)
     p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--load_step", type=int, default=None,
+                   help="with --continue_training: resume from this exact "
+                        "step's checkpoint (the reference's --load_epoch, "
+                        "train/train.py:148-153)")
+    p.add_argument("--pretrained", default=None,
+                   help="initialize params from a checkpoint (.pth via the "
+                        "3-stage LoadPretrained graft, train/train.py:124-"
+                        "146, or native .msgpack)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--max_steps", type=int, default=None)
 
@@ -110,7 +118,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     print(cfg)
-    train(cfg, max_steps=args.max_steps, resume=args.continue_training)
+    train(cfg, max_steps=args.max_steps, resume=args.continue_training,
+          pretrained=args.pretrained, load_step=args.load_step)
 
 
 if __name__ == "__main__":

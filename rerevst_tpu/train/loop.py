@@ -140,16 +140,40 @@ def _dump_diagnostics(params, content, style, key, cfg, epoch, extra):
 
 
 def train(cfg: TrainConfig, params: Optional[Dict] = None,
-          max_steps: Optional[int] = None, resume: bool = False) -> TrainState:
-    """Run training; returns the final state."""
+          max_steps: Optional[int] = None, resume: bool = False,
+          pretrained: Optional[str] = None,
+          load_step: Optional[int] = None) -> TrainState:
+    """Run training; returns the final state.
+
+    `pretrained` initialises params from a checkpoint (.pth via the 3-stage
+    LoadPretrained graft, or native .msgpack) before training — the
+    reference's ``LoadPretrained`` (``train/train.py:124-157``).  `resume`
+    restores the full train state from `cfg.out_dir`; `load_step` pins a
+    specific step (the ``--load_epoch`` analog) instead of the newest.
+    """
     net = TransformerNet(cfg.model)
     if params is None:
         params = init_transformer_params(jax.random.PRNGKey(cfg.seed),
                                          cfg.model, with_loss_net=True)
+    if pretrained is not None:
+        from rerevst_tpu.io.torch_compat import load_pretrained
+
+        params, stage = load_pretrained(pretrained, params)
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"initialized from {pretrained} (stage: {stage})")
     state = init_train_state(params, cfg)
     start_step = 0
     if resume:
-        ck = latest_checkpoint(cfg.out_dir)
+        if load_step is not None:
+            from rerevst_tpu.io.checkpoint import checkpoint_at_step
+
+            ck = checkpoint_at_step(cfg.out_dir, load_step)
+            if ck is None:
+                raise FileNotFoundError(
+                    f"Cannot find checkpoint for step {load_step} "
+                    f"in {cfg.out_dir}")
+        else:
+            ck = latest_checkpoint(cfg.out_dir)
         if ck is not None:
             path, start_step = ck
             p, o = restore_train_state(path, state.params, state.opt_state)

@@ -201,6 +201,7 @@ def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
 
     g_opt = make_optimizer(cfg, params_template)
     d_opt = _optax.adam(1e-4, b1=0.5, b2=0.9)
+    prec = precision_for(cfg.model.dtype, cfg.model.precision)
 
     @jax.jit
     def train_step(g_state: TrainState, d_state: TrainState, content, style,
@@ -208,7 +209,7 @@ def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
         # --- D update on detached generator output ---------------------
         styled_ng = lax.stop_gradient(
             decode(g_state.params["decoder"],
-                   vgg.encode(g_state.params["encoder"], content),
+                   vgg.encode(g_state.params["encoder"], content, prec),
                    encode_style(g_state.params, style, cfg.model), cfg.model))
 
         def d_loss_fn(d_params):
@@ -271,10 +272,24 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return jax.jit(fn)
+    ))
+    n_shards = int(mesh.devices.size)
+
+    def step(state: TrainState, content, style, key):
+        # Non-divisible batches are an error by contract: silently padding a
+        # *training* batch would bias gradients (pmean weights every shard
+        # equally), unlike inference where pad_to_multiple masks stats.
+        if content.shape[0] % n_shards or style.shape[0] % n_shards:
+            raise ValueError(
+                f"sharded train step needs batch divisible by the mesh "
+                f"({n_shards} devices); got content batch "
+                f"{content.shape[0]}, style batch {style.shape[0]}. "
+                f"Pick batch_size = k * {n_shards}.")
+        return fn(state, content, style, key)
+
+    return step

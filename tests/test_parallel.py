@@ -102,6 +102,119 @@ def test_streaming_collect_matches_batched(setup):
             err_msg=jtu.keystr(pa))
 
 
+# --- sharded train step (train/step.py:make_sharded_train_step) ------------
+
+from rerevst_tpu.config import LossConfig, TrainConfig  # noqa: E402
+from rerevst_tpu.train.state import init_train_state  # noqa: E402
+from rerevst_tpu.train.step import (  # noqa: E402
+    make_sharded_train_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    # relax_style and temporal_loss are batch-coupled / per-device-PRNG by
+    # design (see the divergence tests below); the remaining losses are
+    # per-sample means, so pmean-of-shard-grads == full-batch grad exactly.
+    cfg = TrainConfig(
+        batch_size=8,
+        model=CFG,
+        loss=LossConfig(relax_style=False, temporal_loss=False),
+    )
+    # he_relu: magnitude-preserving VGG init — keeps relu4_1 channels alive
+    # so rsqrt(var+eps) doesn't amplify reduction-order noise chaotically.
+    params = init_transformer_params(jax.random.PRNGKey(3), CFG,
+                                     with_loss_net=True,
+                                     vgg_scheme="he_relu")
+    rng = np.random.default_rng(7)
+    content = normalize(jnp.asarray(rng.random((8, 32, 32, 3), np.float32)))
+    style = normalize(jnp.asarray(rng.random((8, 32, 32, 3), np.float32)))
+    return cfg, params, content, style
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_train_step_matches_single_device(train_setup, ndev):
+    """One DP step == one single-device step on the same batch: grads are
+    pmean'd over ICI, metrics pmean'd, params replicated."""
+    cfg, params, content, style = train_setup
+    key = jax.random.PRNGKey(11)
+
+    single_step = make_train_step(cfg, params)
+    s1, m1 = single_step(init_train_state(params, cfg), content, style, key)
+
+    sharded_step = make_sharded_train_step(cfg, params, frame_mesh(ndev))
+    s2, m2 = sharded_step(init_train_state(params, cfg), content, style, key)
+
+    assert int(s2.step) == 1
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=5e-4, atol=5e-6, err_msg=f"metric {k}")
+    # First Adam step is ~lr*sign(g): where |g| is at fp-noise scale the sign
+    # can flip between reduction orderings, bounding the diff by 2*lr=2e-4.
+    import jax.tree_util as jtu
+    changed = 0
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(s1.params),
+                               jtu.tree_leaves_with_path(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5e-4, rtol=0,
+                                   err_msg=jtu.keystr(pa))
+        changed += int(not np.array_equal(np.asarray(a), np.asarray(b)))
+    # Sanity: the step actually updated something on both paths.
+    leaves0 = jax.tree.leaves(params)
+    leaves1 = jax.tree.leaves(s2.params)
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(leaves0, leaves1))
+
+
+@pytest.mark.slow
+def test_sharded_per_device_rng_distinct_flows(train_setup):
+    """The sharded step folds `lax.axis_index` into the PRNG key: with
+    temporal loss on and identical per-device sub-batches, each device must
+    see a *different* fake flow (like independent dataloader workers), and
+    the pmean'd temporal metric must equal the average of the two
+    single-device runs with the correspondingly folded keys."""
+    _, params, content, style = train_setup
+    cfg = TrainConfig(
+        batch_size=2, model=CFG,
+        loss=LossConfig(relax_style=False, temporal_loss=True),
+    )
+    x = content[:1]
+    sty = style[:1]
+    batch_c = jnp.concatenate([x, x], axis=0)
+    batch_s = jnp.concatenate([sty, sty], axis=0)
+    key = jax.random.PRNGKey(21)
+
+    sharded_step = make_sharded_train_step(cfg, params, frame_mesh(2))
+    _, m_sharded = sharded_step(init_train_state(params, cfg),
+                                batch_c, batch_s, key)
+
+    single_step = make_train_step(cfg, params)
+    metrics = []
+    for idx in range(2):
+        folded = jax.random.fold_in(key, idx)
+        _, m = single_step(init_train_state(params, cfg), x, sty, folded)
+        metrics.append(m)
+
+    t0 = float(metrics[0]["temporal"])
+    t1 = float(metrics[1]["temporal"])
+    # Distinct per-device streams -> distinct fake motion -> distinct loss.
+    assert abs(t0 - t1) > 1e-7
+    np.testing.assert_allclose(float(m_sharded["temporal"]), (t0 + t1) / 2,
+                               rtol=5e-4, atol=5e-6)
+
+
+def test_sharded_train_step_rejects_non_divisible(train_setup):
+    """Contract: padding a *training* batch would bias pmean'd gradients, so
+    non-divisible batches are a loud error, not a silent pad."""
+    cfg, params, content, style = train_setup
+    step = make_sharded_train_step(cfg, params, frame_mesh(8))
+    with pytest.raises(ValueError, match="divisible"):
+        step(init_train_state(params, cfg), content[:5], style[:5],
+             jax.random.PRNGKey(0))
+
+
 def test_sharded_stylize_matches_single_device(setup):
     params, sf, feats, frames = setup
     stats = collect_stats(params["decoder"], feats, sf, CFG)
