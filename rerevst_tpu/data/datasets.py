@@ -194,19 +194,54 @@ class MPIDataset:
         return out
 
 
+def normalize_video_data(data: Dict) -> Dict:
+    """Accept either our internal schema ({'frames': [(pre, cur)...],
+    'flows', 'masks'}) or the reference's ``video_data.pickle`` schema
+    ({'pre_frame_list', 'cur_frame_list', 'flow_list', 'mask_list'},
+    ``train/dataset.py:59-63``)."""
+    if "pre_frame_list" in data:
+        return {
+            "frames": list(zip(data["pre_frame_list"],
+                               data["cur_frame_list"])),
+            "flows": list(data["flow_list"]),
+            "masks": list(data["mask_list"]),
+        }
+    return data
+
+
+def load_video_pickle(path: str = "video_data.pickle") -> Dict:
+    """The reference hardcodes this file for --use_video
+    (``train/dataset.py:541-542``)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return normalize_video_data(pickle.load(f))
+
+
 class VideoDataset:
     """Frame pairs + forward flow + masks read from a zip archive
-    (``train/dataset.py:38-219``).  `data` maps zip member names as in the
-    reference's video_data.pickle: dict with 'frames' (list of (pre, cur)),
-    'flows', 'masks' member-name triples."""
+    (``train/dataset.py:38-219``).  `data` maps zip member names; both our
+    internal schema and the reference's video_data.pickle schema are
+    accepted (see ``normalize_video_data``).  `style_path` may be a
+    directory of .jpg files or a ``.zip`` archive of them
+    (``train/dataset.py:65-78``)."""
 
     def __init__(self, load_size=288, fine_size=256, flip=True,
                  video_path="data/video.zip", style_path="data/style",
                  data: Optional[Dict] = None, seed: Optional[int] = None):
         self.zip_path = video_path
         self._zip = None  # opened lazily per process/thread (dataset.py:173-174)
-        self.data = data or {"frames": [], "flows": [], "masks": []}
-        self.styles = sorted(glob.glob(os.path.join(style_path, "*.jpg")))
+        self.data = normalize_video_data(
+            data or {"frames": [], "flows": [], "masks": []})
+        if style_path.endswith(".zip"):
+            self.style_zip_path = style_path
+            self._style_zip = None
+            with zipfile.ZipFile(style_path) as z:
+                self.styles = sorted(n for n in z.namelist()
+                                     if n.endswith(".jpg"))
+        else:
+            self.style_zip_path = None
+            self.styles = sorted(glob.glob(os.path.join(style_path, "*.jpg")))
         self.load_size, self.fine_size, self.flip = load_size, fine_size, flip
         self.rng = random.Random(seed)
         self._lock = threading.Lock()
@@ -222,6 +257,30 @@ class VideoDataset:
             buf = self._zf().read(member)
         return cv2.imdecode(np.frombuffer(buf, np.uint8), 1)
 
+    def _read_style(self, name: str):
+        cv2 = _cv2()
+        if self.style_zip_path is None:
+            return cv2.imread(name)
+        with self._lock:
+            if self._style_zip is None:
+                self._style_zip = zipfile.ZipFile(self.style_zip_path)
+            buf = self._style_zip.read(name)
+        return cv2.imdecode(np.frombuffer(buf, np.uint8), 1)
+
+    def _read_flow(self, member: str, h: int, w: int):
+        """Reference flow members are raw float32 blobs: a 32-float header
+        then H*W*2 values (``train/dataset.py:162-164``); ``.npy`` is also
+        accepted as our extension."""
+        cv2 = _cv2()
+        with self._lock:
+            buf = self._zf().read(member)
+        if member.endswith(".npy"):
+            return np.load(__import__("io").BytesIO(buf))
+        arr = np.frombuffer(buf, np.float32)
+        if arr.size == 32 + h * w * 2:
+            return np.reshape(arr[32:], (h, w, 2))
+        return cv2.imdecode(np.frombuffer(buf, np.uint8), -1)
+
     def __len__(self):
         return len(self.data["frames"])
 
@@ -231,12 +290,11 @@ class VideoDataset:
         pre_name, cur_name = self.data["frames"][index]
         pre = self._read_img(pre_name)
         cur = self._read_img(cur_name)
-        with self._lock:
-            flow_buf = self._zf().read(self.data["flows"][index])
-        flow = np.load(__import__("io").BytesIO(flow_buf)) \
-            if self.data["flows"][index].endswith(".npy") \
-            else cv2.imdecode(np.frombuffer(flow_buf, np.uint8), -1)
-        mask = self._read_img(self.data["masks"][index]) / 255.0
+        flow = self._read_flow(self.data["flows"][index],
+                               cur.shape[0], cur.shape[1])
+        # Zip masks mark occlusions with 255: validity = 1 - mask/255
+        # (``train/dataset.py:166-168``).
+        mask = 1.0 - self._read_img(self.data["masks"][index]) / 255.0
 
         x1 = rng.randint(0, pre.shape[0] - self.fine_size)
         y1 = rng.randint(0, pre.shape[1] - self.fine_size)
@@ -249,7 +307,7 @@ class VideoDataset:
                 mask[x1 : x1 + self.fine_size, y1 : y1 + self.fine_size],
                 fr if fr is not None else 1.0).astype(np.float32),
         }
-        style = cv2.imread(rng.choice(self.styles))
+        style = self._read_style(rng.choice(self.styles))
         h, w, _ = style.shape
         ls = max(h, w, self.load_size)
         x1 = rng.randint(0, ls - self.fine_size)
@@ -329,7 +387,8 @@ class Loader:
 def get_loader(batch_size, load_size=288, fine_size=256, flip=True,
                content_path="./data/content/", style_path="./data/style/",
                num_workers=2, use_mpi=False, use_video=False,
-               video_data: Optional[Dict] = None, seed: int = 0) -> Loader:
+               video_data: Optional[Dict] = None, seed: int = 0,
+               video_pickle: str = "video_data.pickle") -> Loader:
     """Dataset factory (``train/dataset.py:531-552``)."""
     if use_mpi and use_video:
         raise ValueError("use_mpi and use_video are mutually exclusive")
@@ -337,6 +396,10 @@ def get_loader(batch_size, load_size=288, fine_size=256, flip=True,
         ds = MPIDataset(load_size, fine_size, flip, content_path, style_path,
                         seed=seed)
     elif use_video:
+        if video_data is None:
+            # The reference loads this pickle unconditionally for
+            # --use_video (``train/dataset.py:541-542``).
+            video_data = load_video_pickle(video_pickle)
         ds = VideoDataset(load_size, fine_size, flip, content_path,
                           style_path, data=video_data, seed=seed)
     else:

@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("-o", "--out", default="./result_interp")
     p.add_argument("--interval", type=int, default=16)
+    p.add_argument("--weights", default=None,
+                   help="per-frame weight schedule: inline JSON or a path to "
+                        "a JSON file holding an [n_frames][n_styles] array "
+                        "(arbitrary per-frame weights, the reference's "
+                        "transfer(frame, weight) contract).  Default: linear "
+                        "sweep through all styles.")
     p.add_argument("--style-size", type=int, default=384,
                    help="styles resized to this square (reference: 384)")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
@@ -53,10 +59,18 @@ def main(argv=None):
         raise SystemExit(f"no frames match {args.frames!r}")
     frames = [vio.read_frame(p) for p in frame_paths]
 
+    weights = None
+    if args.weights is not None:
+        raw = args.weights
+        if not raw.lstrip().startswith("["):
+            with open(raw) as f:
+                raw = f.read()
+        weights = json.loads(raw)
+
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
     n = 0
-    for i, styled in enumerate(ms.interpolate_video(frames)):
+    for i, styled in enumerate(ms.interpolate_video(frames, weights=weights)):
         vio.write_frame(os.path.join(args.out,
                                      os.path.basename(frame_paths[i])), styled)
         n += 1

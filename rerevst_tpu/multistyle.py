@@ -159,18 +159,55 @@ class MultiStylization:
 
     def transfer(self, feats_one: jnp.ndarray,
                  weights: Sequence[float]) -> np.ndarray:
-        """Decode one frame's cached features under blended styles -> BGR."""
+        """Decode one frame's cached features under blended styles -> BGR.
+
+        `weights` is one float per prepared style — arbitrary per-frame
+        values, exactly the reference's ``transfer(frame, weight)`` contract
+        (``Multi-style Interpolation/stylization.py:96-104``)."""
+        if len(weights) != len(self.styles):
+            raise ValueError(
+                f"got {len(weights)} weights for {len(self.styles)} styles")
         w = [jnp.asarray(wi, jnp.float32) for wi in weights]
         out = self._transfer(self.params, feats_one, self.styles, self.stats, w)
         h, w_ = self._orig_hw
         return model_to_bgr(np.asarray(crop_back(out, h, w_, self.infer.pad)))
 
-    def interpolate_video(self, frames_bgr: Sequence[np.ndarray]):
-        """The demo schedule of the reference driver: linear blend from style
-        A to style B across the clip (``Multi-style Interpolation/test.py:127-131``)."""
+    def interpolate_video(self, frames_bgr: Sequence[np.ndarray],
+                          weights: Optional[Sequence[Sequence[float]]] = None):
+        """Stylize a clip under a per-frame weight schedule.
+
+        `weights`: one row of len(styles) floats per frame (arbitrary values,
+        as the reference driver allows, ``Multi-style
+        Interpolation/test.py:127-131``).  Default: ``linear_sweep_weights``
+        — the reference's demo ``[t, 1-t]`` A<-B sweep, generalized to a
+        piecewise-linear traversal through all N styles."""
         feats = self.encode_frames(frames_bgr)
         self.prepare_global(feats)
         n = feats.shape[0]
+        if weights is None:
+            weights = linear_sweep_weights(n, len(self.styles))
+        if len(weights) != n:
+            raise ValueError(
+                f"weight schedule has {len(weights)} rows for {n} frames")
         for i in range(n):
-            t = i / max(n - 1, 1)
-            yield self.transfer(feats[i : i + 1], [t, 1.0 - t])
+            yield self.transfer(feats[i : i + 1], weights[i])
+
+
+def linear_sweep_weights(n_frames: int, n_styles: int) -> List[List[float]]:
+    """Piecewise-linear sweep visiting every style: the last style at frame
+    0, the first at the last frame.  For two styles this is exactly the
+    reference demo schedule ``[i/(n-1), 1-i/(n-1)]``
+    (``Multi-style Interpolation/test.py:127-131``)."""
+    if n_styles < 2:
+        return [[1.0]] * n_frames
+    rows = []
+    for i in range(n_frames):
+        u = i / max(n_frames - 1, 1)
+        s = (1.0 - u) * (n_styles - 1)
+        k = min(int(s), n_styles - 2)
+        frac = s - k
+        w = [0.0] * n_styles
+        w[k] = 1.0 - frac
+        w[k + 1] = frac
+        rows.append(w)
+    return rows

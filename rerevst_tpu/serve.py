@@ -13,10 +13,20 @@ Endpoints (image payloads are encoded images — png/jpg — as request bodies):
                            concatenation protocol (N frames as a .npz body),
                            returns stylized frames as an .npz
 
-The service wraps one Stylization session (one XLA program per geometry);
-single-threaded by design — scale by running one process per chip and
-sharding clips across them (the embarrassingly-parallel Pass 2 makes any
-frame-level load balancing correct).
+Concurrency model: ONE Stylization session per process, all device compute
+serialized through a lock.  The server accepts connections on threads so
+health checks and error replies stay responsive during long video requests,
+but stylization itself never runs concurrently (one XLA program per
+geometry, one chip).  Scale by running one process per chip and sharding
+clips across them (the embarrassingly-parallel Pass 2 makes any frame-level
+load balancing correct).
+
+Hardening: request bodies are capped (``--max-body-mb``, HTTP 413), clip
+length is capped (``--max-frames``), per-connection socket timeouts bound
+stuck clients, and all errors return structured JSON
+(``{"error": {"type", "message"}}``) — 400 for bad payloads, 409 for
+protocol-state violations (e.g. /stylize before /style), 500 (logged with
+traceback) for anything unexpected.
 """
 
 from __future__ import annotations
@@ -24,11 +34,16 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import sys
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+DEFAULT_MAX_BODY_MB = 64
+DEFAULT_MAX_FRAMES = 2048
 
 
 def _imdecode(buf: bytes) -> np.ndarray:
@@ -87,9 +102,24 @@ class StylizeService:
         with self.lock:
             return self.session.transfer(img)
 
-    def video(self, frames, interval: int):
+    def video(self, frames, interval: int, max_frames: int):
         from rerevst_tpu.config import InferenceConfig
 
+        if not frames:
+            raise ValueError("empty clip")
+        if len(frames) > max_frames:
+            raise ValueError(
+                f"clip too long: {len(frames)} frames > cap {max_frames}")
+        shape = frames[0].shape
+        for i, f in enumerate(frames):
+            if f.ndim != 3 or f.shape[2] != 3 or f.dtype != np.uint8:
+                raise ValueError(
+                    f"frame {i}: expected uint8 HxWx3, got "
+                    f"{f.dtype} {f.shape}")
+            if f.shape != shape:
+                raise ValueError(
+                    f"frame {i}: shape {f.shape} != frame 0 {shape} "
+                    f"(geometry is fixed per clip)")
         with self.lock:
             self.session.infer = InferenceConfig(
                 sample_interval=interval,
@@ -99,8 +129,13 @@ class StylizeService:
             return list(self.session.stylize_video(frames))
 
 
-def make_handler(svc: StylizeService):
+def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
+                 max_frames: int = DEFAULT_MAX_FRAMES):
     class Handler(BaseHTTPRequestHandler):
+        # Bound stuck/trickling clients; one slow socket must not wedge the
+        # (threaded) acceptor's resources forever.
+        timeout = 120
+
         def _reply(self, code, body, ctype="application/json"):
             data = (json.dumps(body).encode() if ctype == "application/json"
                     else body)
@@ -110,22 +145,44 @@ def make_handler(svc: StylizeService):
             self.end_headers()
             self.wfile.write(data)
 
+        def _error(self, code, exc_type: str, message: str):
+            return self._reply(code, {"error": {"type": exc_type,
+                                                "message": message}})
+
         def _body(self) -> bytes:
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", ""))
+            except ValueError:
+                raise _HttpError(411, "Content-Length required")
+            if n < 0:
+                raise _HttpError(400, "negative Content-Length")
+            if n > max_body:
+                # Bounded drain so the 413 reply reaches the client cleanly
+                # instead of racing a connection reset mid-upload; huge
+                # claimed lengths are abandoned (client sees the close).
+                remaining = min(n, max_body + (8 << 20))
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                raise _HttpError(
+                    413, f"body {n} bytes exceeds cap {max_body}")
             return self.rfile.read(n)
 
-        def log_message(self, *a):  # quiet
-            pass
+        def log_message(self, *a):  # route access logs to /dev/null, keep
+            pass                    # errors (logged explicitly in do_POST)
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 return self._reply(200, svc.healthz())
-            return self._reply(404, {"error": "not found"})
+            return self._error(404, "NotFound", self.path)
 
         def do_POST(self):
             try:
                 path, _, query = self.path.partition("?")
-                qs = dict(kv.split("=", 1) for kv in query.split("&") if "=" in kv)
+                qs = dict(kv.split("=", 1) for kv in query.split("&")
+                          if "=" in kv)
                 if path == "/style":
                     svc.set_style(_imdecode(self._body()))
                     return self._reply(200, {"ok": True})
@@ -137,25 +194,51 @@ def make_handler(svc: StylizeService):
                     out = svc.stylize(_imdecode(self._body()))
                     return self._reply(200, _imencode(out), "image/png")
                 if path == "/video":
-                    with np.load(io.BytesIO(self._body())) as z:
-                        frames = [z[k] for k in sorted(z.files)]
-                    outs = svc.video(frames, int(qs.get("interval", "8")))
+                    try:
+                        with np.load(io.BytesIO(self._body())) as z:
+                            frames = [z[k] for k in sorted(z.files)]
+                    except _HttpError:
+                        raise
+                    except Exception as e:
+                        raise ValueError(f"undecodable .npz body: {e}")
+                    outs = svc.video(frames, int(qs.get("interval", "8")),
+                                     max_frames)
                     bio = io.BytesIO()
                     np.savez_compressed(
                         bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
                     return self._reply(200, bio.getvalue(),
                                        "application/octet-stream")
-                return self._reply(404, {"error": "not found"})
+                return self._error(404, "NotFound", path)
+            except _HttpError as e:
+                return self._error(e.code, "HttpError", e.message)
+            except ValueError as e:
+                # Bad payload (undecodable image, malformed npz, bad query).
+                return self._error(400, type(e).__name__, str(e))
+            except RuntimeError as e:
+                # Protocol-state violation (e.g. /stylize before /style).
+                return self._error(409, type(e).__name__, str(e))
             except Exception as e:  # noqa: BLE001 — service boundary
-                return self._reply(400, {"error": str(e)})
+                traceback.print_exc(file=sys.stderr)
+                return self._error(500, type(e).__name__, str(e))
 
     return Handler
 
 
+class _HttpError(Exception):
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+        self.message = message
+
+
 def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
-          dtype: str = "bf16", use_global: bool = True) -> HTTPServer:
+          dtype: str = "bf16", use_global: bool = True,
+          max_body_mb: int = DEFAULT_MAX_BODY_MB,
+          max_frames: int = DEFAULT_MAX_FRAMES) -> ThreadingHTTPServer:
     svc = StylizeService(checkpoint, dtype, use_global)
-    server = HTTPServer((host, port), make_handler(svc))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(svc, max_body_mb << 20, max_frames))
+    server.daemon_threads = True
     return server
 
 
@@ -166,9 +249,11 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--no-global", action="store_true")
+    ap.add_argument("--max-body-mb", type=int, default=DEFAULT_MAX_BODY_MB)
+    ap.add_argument("--max-frames", type=int, default=DEFAULT_MAX_FRAMES)
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,
-                   not args.no_global)
+                   not args.no_global, args.max_body_mb, args.max_frames)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

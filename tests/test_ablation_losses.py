@@ -126,3 +126,59 @@ class TestVideoDataset:
         assert item["Content"].shape == (64, 64, 3)
         assert item["ForwardFlow"].shape == (64, 64, 2)
         assert item["ForwardMask"].shape[:2] == (64, 64)
+
+    def test_reference_pickle_zip_ingestion(self, tmp_path, rng):
+        """The reference's exact --use_video workflow: video_data.pickle
+        (pre/cur/flow/mask member lists, ``train/dataset.py:59-63``), raw
+        float32 flow blobs with a 32-float header (``:162-164``), inverted
+        occlusion masks (``:166-168``), and a zip style archive
+        (``:65-78``)."""
+        cv2 = pytest.importorskip("cv2")
+        import pickle
+        import zipfile
+
+        h = w = 100
+        zpath = str(tmp_path / "video.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for name in ("f0.png", "f1.png"):
+                ok, buf = cv2.imencode(
+                    ".png", (rng.random((h, w, 3)) * 255).astype(np.uint8))
+                zf.writestr(name, buf.tobytes())
+            flow = rng.standard_normal((h, w, 2)).astype(np.float32)
+            blob = np.concatenate(
+                [np.zeros(32, np.float32), flow.ravel()]).tobytes()
+            zf.writestr("flow_mat/flow0", blob)
+            # All-255 mask member: fully occluded -> validity all zero.
+            ok, mbuf = cv2.imencode(
+                ".png", np.full((h, w, 3), 255, np.uint8))
+            zf.writestr("occlusions/m0.png", mbuf.tobytes())
+
+        spath = str(tmp_path / "styles.zip")
+        with zipfile.ZipFile(spath, "w") as zf:
+            ok, sbuf = cv2.imencode(
+                ".jpg", (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+            zf.writestr("s0.jpg", sbuf.tobytes())
+            zf.writestr("notes.txt", b"ignored: not a .jpg")
+
+        ppath = str(tmp_path / "video_data.pickle")
+        with open(ppath, "wb") as f:
+            pickle.dump({"pre_frame_list": ["f0.png"],
+                         "cur_frame_list": ["f1.png"],
+                         "flow_list": ["flow_mat/flow0"],
+                         "mask_list": ["occlusions/m0.png"]}, f)
+
+        from rerevst_tpu.data.datasets import get_loader
+
+        loader = get_loader(1, load_size=96, fine_size=64, flip=True,
+                            content_path=zpath, style_path=spath,
+                            num_workers=1, use_video=True,
+                            video_pickle=ppath)
+        batch = next(iter(loader))
+        assert batch["Content"].shape == (1, 64, 64, 3)
+        assert batch["ForwardFlow"].shape == (1, 64, 64, 2)
+        assert batch["Style"].shape == (1, 64, 64, 3)
+        # 255-mask means occluded; validity mask must be all zeros.
+        np.testing.assert_allclose(batch["ForwardMask"], 0.0)
+        # Raw-f32 blob decoded: the cropped flow matches the written field
+        # up to flip/crop (check value range sanity).
+        assert np.isfinite(batch["ForwardFlow"]).all()

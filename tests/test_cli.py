@@ -69,6 +69,59 @@ def test_interpolate_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
     assert len(glob.glob(os.path.join(out, "*.png"))) == 5
 
 
+def test_interpolate_three_styles_explicit_weights(tiny_clip, ckpt, tmp_path,
+                                                   capsys):
+    """General N-way weighting: 3 styles, explicit per-frame schedule
+    (the reference's arbitrary transfer(frame, weight) contract)."""
+    from rerevst_tpu import interpolate
+
+    clip, style = tiny_clip
+    out = str(tmp_path / "interp3")
+    schedule = [[1, 0, 0], [0.5, 0.5, 0], [0, 1, 0], [0, 0.5, 0.5],
+                [0, 0, 1]]
+    wpath = str(tmp_path / "w.json")
+    with open(wpath, "w") as f:
+        json.dump(schedule, f)
+    interpolate.main(["--styles", style,
+                      f"{clip}/f001.png", f"{clip}/f002.png",
+                      "--frames", f"{clip}/f*.png", "--checkpoint", ckpt,
+                      "-o", out, "--interval", "2", "--style-size", "64",
+                      "--weights", wpath])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    outs = sorted(glob.glob(os.path.join(out, "*.png")))
+    assert len(outs) == 5
+
+
+def test_linear_sweep_weights_matches_reference_two_style():
+    from rerevst_tpu.multistyle import linear_sweep_weights
+
+    n = 5
+    rows = linear_sweep_weights(n, 2)
+    for i, row in enumerate(rows):
+        t = i / (n - 1)
+        np.testing.assert_allclose(row, [t, 1.0 - t], atol=1e-12)
+    # N=3: visits each style; rows always sum to 1.
+    rows3 = linear_sweep_weights(9, 3)
+    assert rows3[0] == [0.0, 0.0, 1.0]
+    assert rows3[-1] == [1.0, 0.0, 0.0]
+    assert rows3[4][1] == pytest.approx(1.0)
+    for row in rows3:
+        assert sum(row) == pytest.approx(1.0)
+
+
+def test_interpolate_weight_validation(tiny_clip, ckpt, tmp_path):
+    from rerevst_tpu import interpolate
+
+    clip, style = tiny_clip
+    with pytest.raises(ValueError, match="rows"):
+        interpolate.main(["--styles", style, f"{clip}/f001.png",
+                          "--frames", f"{clip}/f*.png", "--checkpoint", ckpt,
+                          "-o", str(tmp_path / "x"), "--interval", "2",
+                          "--style-size", "64",
+                          "--weights", "[[1, 0], [0, 1]]"])
+
+
 def test_convert_cli(ckpt, tmp_path, capsys):
     from rerevst_tpu import convert
 

@@ -25,7 +25,9 @@ def server_url(tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("srv") / "m.msgpack")
     save_params(ckpt, params)
 
-    server = serve(ckpt, port=0, dtype="f32")  # port 0: pick a free one
+    # port 0: pick a free one.  Small caps so the hardening paths (413 body
+    # cap, frame-count cap) are exercisable without multi-MB payloads.
+    server = serve(ckpt, port=0, dtype="f32", max_body_mb=1, max_frames=4)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     host, port = server.server_address[:2]
@@ -100,9 +102,70 @@ def test_video_endpoint(server_url, clip):
 def test_bad_payload_is_a_clean_400(server_url):
     s, body, _ = _post(server_url + "/stylize", b"not an image")
     assert s == 400
-    assert "error" in json.loads(body)
+    err = json.loads(body)["error"]
+    assert err["type"] and err["message"]
 
 
 def test_unknown_route_404(server_url):
     s, _, _ = _post(server_url + "/nope", b"")
     assert s == 404
+
+
+def test_oversized_body_413(server_url):
+    s, body, _ = _post(server_url + "/stylize", b"\0" * (2 << 20))  # cap 1MB
+    assert s == 413
+    assert "exceeds cap" in json.loads(body)["error"]["message"]
+
+
+def test_malformed_npz_400(server_url, clip):
+    _, style = clip
+    _post(server_url + "/style", _png(style))
+    s, body, _ = _post(server_url + "/video", b"definitely not an npz")
+    assert s == 400
+    assert "npz" in json.loads(body)["error"]["message"]
+
+
+def test_video_frame_validation_400(server_url, clip):
+    frames, style = clip
+    _post(server_url + "/style", _png(style))
+    # Too many frames (cap 4 in the fixture).
+    bio = io.BytesIO()
+    np.savez_compressed(bio, **{f"f{i}": frames[0] for i in range(5)})
+    s, body, _ = _post(server_url + "/video", bio.getvalue())
+    assert s == 400 and "too long" in json.loads(body)["error"]["message"]
+    # Wrong dtype.
+    bio = io.BytesIO()
+    np.savez_compressed(bio, f0=frames[0].astype(np.float32))
+    s, body, _ = _post(server_url + "/video", bio.getvalue())
+    assert s == 400 and "uint8" in json.loads(body)["error"]["message"]
+    # Inconsistent geometry.
+    bio = io.BytesIO()
+    np.savez_compressed(bio, f0=frames[0], f1=frames[1][:32])
+    s, body, _ = _post(server_url + "/video", bio.getvalue())
+    assert s == 400 and "geometry" in json.loads(body)["error"]["message"]
+
+
+def test_stylize_before_style_is_409(tmp_path, clip):
+    """Protocol-state violations are 409, not 500."""
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import serve
+
+    frames, _ = clip
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    ckpt = str(tmp_path / "m.msgpack")
+    save_params(ckpt, params)
+    server = serve(ckpt, port=0, dtype="f32")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    try:
+        s, body, _ = _post(f"http://{host}:{port}/stylize", _png(frames[0]))
+        assert s == 409
+        assert json.loads(body)["error"]["type"] == "RuntimeError"
+    finally:
+        server.shutdown()
