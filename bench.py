@@ -22,8 +22,24 @@ import jax.numpy as jnp
 
 
 def main():
+    import sys
+
+    # Parity mode delegates wholesale to the parity CLI (its flag surface —
+    # --frames/--crop/--fast_dtype/... — overlaps this parser's, so intercept
+    # before parsing).
+    argv = sys.argv[1:]
+    if "--mode" in argv and argv[argv.index("--mode") + 1] == "parity":
+        from rerevst_tpu.eval.parity import main as parity_main
+
+        i = argv.index("--mode")
+        parity_main(argv[:i] + argv[i + 2:])
+        return
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--tail", default="none", choices=["none", "out", "res2"],
+                    help="fp32 decoder tail (ModelConfig.fp32_tail) — the "
+                         "mixed-precision parity configs")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=96,
                     help="frames per timed repetition")
@@ -31,10 +47,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--mode", default="infer",
-                    choices=["infer", "train", "multistyle", "1080p"],
+                    choices=["infer", "train", "multistyle", "1080p",
+                             "parity"],
                     help="infer: 512p hot loop (headline); train: full train "
                          "step; multistyle: 2-style blended decode; 1080p: "
-                         "1080p inference")
+                         "1080p inference; parity: bf16-vs-fp32 pixel error "
+                         "on the real ambush_4 fixture (handled above)")
     args = ap.parse_args()
     if args.mode == "1080p":
         args.size, args.batch = 1080, max(args.batch // 2, 4)
@@ -55,7 +73,7 @@ def main():
     from rerevst_tpu.ops.image import padded_size
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cfg = ModelConfig(dtype=dtype)
+    cfg = ModelConfig(dtype=dtype, fp32_tail=args.tail)
     h, w = padded_size(args.size, args.size)  # 512 -> 640x640
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
@@ -125,7 +143,8 @@ def main():
         "vs_baseline": round(fps / 200.0, 3),
         "batch_latency_ms": round(lat[0], 2),
         "batch": args.batch,
-        "dtype": args.dtype,
+        "dtype": args.dtype + ("" if args.tail == "none"
+                               else f"+fp32tail:{args.tail}"),
         "device": str(jax.devices()[0]),
     }))
 

@@ -46,6 +46,16 @@ class ModelConfig:
     #: HIGHEST for parity, low precision -> DEFAULT).  'high' gives fp32
     #: users a ~2x faster bf16x3 middle ground.
     precision: str = "auto"
+    #: Mixed-precision decoder tail for bf16 inference: cast activations to
+    #: fp32 for the last decoder stages, killing the final full-resolution
+    #: bf16 roundings that dominate pixel error (earlier bf16 noise is
+    #: attenuated ~sqrt(fan-in) through each conv).  'none' = pure cfg.dtype;
+    #: 'out' = final AdaIN + output conv in fp32; 'res2' = from the last
+    #: residual block on.  No effect when dtype is already fp32.
+    fp32_tail: str = "none"
+    #: Conv precision inside the fp32 tail ('high' = bf16x3, ~fp32-quality
+    #: products at 3x bf16 cost on the affected convs only).
+    tail_precision: str = "high"
 
     def with_dtype(self, dtype) -> "ModelConfig":
         return dataclasses.replace(self, dtype=dtype)

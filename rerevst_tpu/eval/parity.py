@@ -117,11 +117,15 @@ def main(argv=None):
     ap.add_argument("--fast_dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
+    ap.add_argument("--fast_tail", default="none",
+                    choices=["none", "out", "res2"],
+                    help="fp32 decoder tail in the fast config "
+                         "(ModelConfig.fp32_tail)")
     args = ap.parse_args(argv)
 
     fast = ModelConfig(
         dtype=jnp.bfloat16 if args.fast_dtype == "bf16" else jnp.float32,
-        precision=args.fast_precision)
+        precision=args.fast_precision, fp32_tail=args.fast_tail)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)
     stats = compare_configs(args.checkpoint, fast, ref,
                             n_frames=args.frames,
@@ -132,7 +136,8 @@ def main(argv=None):
         "value": stats["mean_01"],
         "unit": "mean |Δ| per pixel, [0,1] scale",
         "vs_baseline": stats["mean_01"] / 1e-3,
-        "fast_config": f"{args.fast_dtype}/{args.fast_precision}",
+        "fast_config": (f"{args.fast_dtype}/{args.fast_precision}"
+                        f"/tail={args.fast_tail}"),
         **stats,
         "device": str(jax.devices()[0]),
     }))

@@ -289,13 +289,21 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
     else:
         h = adain(x, m4, s4)
 
+    tail = cfg.fp32_tail if cfg.dtype != jnp.float32 else "none"
+    tcfg = _tail_cfg(cfg)
     h = _resblock(params_dec["res4"], h, cfg)
     h = adain(h, m3, s3)
     h = _resblock(params_dec["res3"], h, cfg)
+    if tail == "res2":
+        h = h.astype(jnp.float32)
     h = adain(h, m2, s2)
-    h = _resblock(params_dec["res2"], h, cfg)
+    h = _resblock(params_dec["res2"], h, tcfg if tail == "res2" else cfg)
+    if tail == "out":
+        h = h.astype(jnp.float32)
     h = adain(h, m1, s1)
-    return conv2d(params_dec["out"], h, padding=1, precision=prec)
+    return conv2d(params_dec["out"], h, padding=1,
+                  precision=precision_for(tcfg.dtype, tcfg.precision)
+                  if tail != "none" else prec)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +348,14 @@ def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     return xs + h
 
 
+def _tail_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Config used inside the fp32 decoder tail (see ModelConfig.fp32_tail)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, dtype=jnp.float32,
+                               precision=cfg.tail_precision)
+
+
 def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
                   cfg: ModelConfig):
     """Global decoder graph (``test/style_network_global.py:441-451``).
@@ -352,6 +368,8 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
     norms, filt = stats.norms, stats.filters
+    tail = cfg.fp32_tail if cfg.dtype != jnp.float32 else "none"
+    tcfg = _tail_cfg(cfg)
 
     h = _norm_apply(norms["pre"], x)
     ns = (style.map - m4) / s4
@@ -364,10 +382,17 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     h = _resblock_global(params_dec["res4"], h, norms["res4a"], norms["res4b"], cfg)
     h = _norm_apply(norms["ada3"], h) * s3 + m3
     h = _resblock_global(params_dec["res3"], h, norms["res3a"], norms["res3b"], cfg)
+    if tail == "res2":
+        h = h.astype(jnp.float32)
     h = _norm_apply(norms["ada2"], h) * s2 + m2
-    h = _resblock_global(params_dec["res2"], h, norms["res2a"], norms["res2b"], cfg)
+    h = _resblock_global(params_dec["res2"], h, norms["res2a"], norms["res2b"],
+                         tcfg if tail == "res2" else cfg)
+    if tail == "out":
+        h = h.astype(jnp.float32)
     h = _norm_apply(norms["ada1"], h) * s1 + m1
-    return conv2d(params_dec["out"], h, padding=1, precision=prec)
+    return conv2d(params_dec["out"], h, padding=1,
+                  precision=precision_for(tcfg.dtype, tcfg.precision)
+                  if tail != "none" else prec)
 
 
 # ---------------------------------------------------------------------------

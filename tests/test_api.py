@@ -102,10 +102,7 @@ class TestStylization:
 
     def test_mesh_session_runs_and_is_deterministic(self, fixture_frames):
         """Stylization(mesh=...) — sharded Pass 1 + Pass 2 over the virtual
-        8-device mesh, end to end.  (Numerical sharded==single equivalence is
-        asserted in test_parallel with well-conditioned inputs; random-init
-        VGG features have near-dead channels whose rsqrt amplification makes
-        bitwise session comparison meaningless.)"""
+        8-device mesh, end to end (wiring + determinism; numerics below)."""
         from rerevst_tpu.parallel import frame_mesh
 
         frames, style = fixture_frames
@@ -118,6 +115,39 @@ class TestStylization:
         assert len(a) == len(frames)
         for x, y in zip(a, b):
             assert x.shape == frames[0].shape and x.dtype == np.uint8
+
+    def test_mesh_session_matches_single_device_pixels(self, fixture_frames):
+        """End-to-end pixels -> encoder -> sharded Pass 1 + Pass 2 numerics:
+        the full 8-device mesh session must render the same pixels as the
+        single-device session on real frames.
+
+        Uses the bundled *trained* checkpoint: trained weights are
+        well-conditioned, so the dead-channel rsqrt-amplification objection
+        to random-init comparisons (tests/test_parallel.py) does not apply.
+        Both sessions run fp32; tolerance of 1 uint8 count absorbs the
+        psum-vs-concat reduction reassociation in sharded Pass 1."""
+        from rerevst_tpu.parallel import frame_mesh
+
+        path = "/root/repo/models/demo_plum_4000.msgpack"
+        if not os.path.exists(path):
+            pytest.skip("demo checkpoint not present")
+        frames, style = fixture_frames
+        cfg = ModelConfig(dtype=jnp.float32)
+
+        single = Stylization(checkpoint=path, cfg=cfg, use_global=True,
+                             infer=INFER)
+        single.prepare_style(style)
+        ref = list(single.stylize_video(frames, batch_size=4))
+
+        sharded = Stylization(checkpoint=path, cfg=cfg, use_global=True,
+                              infer=INFER, mesh=frame_mesh(8))
+        sharded.prepare_style(style)
+        got = list(sharded.stylize_video(frames, batch_size=4))
+
+        assert len(got) == len(ref)
+        for x, y in zip(got, ref):
+            np.testing.assert_allclose(
+                x.astype(np.int16), y.astype(np.int16), atol=1)
 
     def test_temporal_stability_vs_per_frame(self, fixture_frames):
         """Global feature sharing must not be less stable than per-frame mode
