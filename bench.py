@@ -37,9 +37,14 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--tail", default="none", choices=["none", "out", "res2"],
-                    help="fp32 decoder tail (ModelConfig.fp32_tail) — the "
+    ap.add_argument("--tail", default="none", choices=["none", "out", "res2", "dec", "enc", "full", "body"],
+                    help="fp32 storage region (ModelConfig.fp32_mix) — the "
                          "mixed-precision parity configs")
+    ap.add_argument("--precision", default="auto",
+                    choices=["auto", "default", "high", "highest"],
+                    help="conv/matmul precision override (ModelConfig."
+                         "precision); 'default' with --dtype f32 = fp32 "
+                         "storage with single-pass bf16 MXU matmuls")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=96,
                     help="frames per timed repetition")
@@ -73,7 +78,8 @@ def main():
     from rerevst_tpu.ops.image import padded_size
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cfg = ModelConfig(dtype=dtype, fp32_tail=args.tail)
+    cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
+                      precision=args.precision)
     h, w = padded_size(args.size, args.size)  # 512 -> 640x640
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
@@ -143,8 +149,11 @@ def main():
         "vs_baseline": round(fps / 200.0, 3),
         "batch_latency_ms": round(lat[0], 2),
         "batch": args.batch,
-        "dtype": args.dtype + ("" if args.tail == "none"
-                               else f"+fp32tail:{args.tail}"),
+        "dtype": (args.dtype
+                  + ("" if args.precision == "auto"
+                     else f"/{args.precision}")
+                  + ("" if args.tail == "none"
+                     else f"+fp32mix:{args.tail}")),
         "device": str(jax.devices()[0]),
     }))
 

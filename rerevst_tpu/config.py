@@ -46,16 +46,27 @@ class ModelConfig:
     #: HIGHEST for parity, low precision -> DEFAULT).  'high' gives fp32
     #: users a ~2x faster bf16x3 middle ground.
     precision: str = "auto"
-    #: Mixed-precision decoder tail for bf16 inference: cast activations to
-    #: fp32 for the last decoder stages, killing the final full-resolution
-    #: bf16 roundings that dominate pixel error (earlier bf16 noise is
-    #: attenuated ~sqrt(fan-in) through each conv).  'none' = pure cfg.dtype;
-    #: 'out' = final AdaIN + output conv in fp32; 'res2' = from the last
-    #: residual block on.  No effect when dtype is already fp32.
-    fp32_tail: str = "none"
-    #: Conv precision inside the fp32 tail ('high' = bf16x3, ~fp32-quality
-    #: products at 3x bf16 cost on the affected convs only).
-    tail_precision: str = "high"
+    #: Mixed-precision region for bf16 inference: run part of the network
+    #: with fp32 activation *storage* (MXU products stay single-pass bf16
+    #: unless `mix_precision` says otherwise), killing that region's bf16
+    #: storage roundings.  Measured on the full ambush_4 fixture vs
+    #: fp32-HIGHEST (mean |Δ|/pixel, [0,1] scale): pure bf16 1.43e-3; fp32
+    #: decoder ('dec') 1.30e-3; fp32 everywhere ('full'≈f32/default)
+    #: 0.51e-3 — i.e. the *encoder's* storage rounding dominates, because
+    #: relu4_1 content features drive every downstream stage.  Choices:
+    #: 'none'; 'out' = final AdaIN + output conv; 'res2' = from the last
+    #: residual block; 'dec' = whole decoder; 'enc' = whole encoder (bf16
+    #: decoder); 'full' = encoder + decoder; 'body' = everything fp32
+    #: *except* the bandwidth-heavy full-resolution res2+out stages (the
+    #: single biggest error term is the bf16 cast of the relu4_1 content
+    #: features — 'enc' and 'dec' each keep that cast and barely help;
+    #: 'body' removes it while dodging most of 'full''s HBM cost).
+    fp32_mix: str = "none"
+    #: Conv precision inside the fp32 region.  'default' = single-pass bf16
+    #: products with fp32 storage/accumulation (fast; storage is the
+    #: measured-dominant error source); 'high' = bf16x3 products at 3x cost
+    #: on the affected convs.
+    mix_precision: str = "default"
 
     def with_dtype(self, dtype) -> "ModelConfig":
         return dataclasses.replace(self, dtype=dtype)

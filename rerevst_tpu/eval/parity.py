@@ -118,14 +118,14 @@ def main(argv=None):
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
     ap.add_argument("--fast_tail", default="none",
-                    choices=["none", "out", "res2"],
-                    help="fp32 decoder tail in the fast config "
-                         "(ModelConfig.fp32_tail)")
+                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
+                    help="fp32 storage region in the fast config "
+                         "(ModelConfig.fp32_mix)")
     args = ap.parse_args(argv)
 
     fast = ModelConfig(
         dtype=jnp.bfloat16 if args.fast_dtype == "bf16" else jnp.float32,
-        precision=args.fast_precision, fp32_tail=args.fast_tail)
+        precision=args.fast_precision, fp32_mix=args.fast_tail)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)
     stats = compare_configs(args.checkpoint, fast, ref,
                             n_frames=args.frames,

@@ -181,8 +181,18 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
     Inference always desaturates (``test/style_network_global.py:499-501``);
     the training forward encodes the color content
     (``train/style_networks.py:570``) — pass desaturate=False there.
+
+    With ``cfg.fp32_mix in ('enc', 'full')`` the VGG runs with fp32
+    activation storage (its bf16 storage rounding is the measured-dominant
+    pixel-error source — see ModelConfig.fp32_mix); the returned features
+    are cast back to cfg.dtype unless the decoder is fp32 too.
     """
     x = rgb_to_luma_reversed(frame) if desaturate else frame
+    if cfg.fp32_mix in ("enc", "full", "body") and cfg.dtype != jnp.float32:
+        f = vgg.encode(params["encoder"], x.astype(jnp.float32),
+                       precision=precision_for(jnp.float32,
+                                               cfg.mix_precision))
+        return f.astype(cfg.dtype) if cfg.fp32_mix == "enc" else f
     return vgg.encode(params["encoder"], x.astype(cfg.dtype),
                       precision=precision_for(cfg.dtype, cfg.precision))
 
@@ -272,6 +282,14 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
     (``train/style_networks.py:411-424``); no extra norm site exists between
     the filters and res4 (unlike the global graph).
     """
+    tail = cfg.fp32_mix if cfg.dtype != jnp.float32 else "none"
+    tcfg = _mix_cfg(cfg)
+    if tail in ("dec", "full"):
+        # Whole decoder in the mix config (fp32 storage; 'full' also ran the
+        # encoder in fp32, so the cast below is a no-op there).
+        return decode(params_dec, x.astype(jnp.float32), style, tcfg)
+    if tail == "body":
+        x = x.astype(jnp.float32)  # fp32 front; res2+out revert to bf16
     prec = precision_for(cfg.dtype, cfg.precision)
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
@@ -289,13 +307,13 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
     else:
         h = adain(x, m4, s4)
 
-    tail = cfg.fp32_tail if cfg.dtype != jnp.float32 else "none"
-    tcfg = _tail_cfg(cfg)
     h = _resblock(params_dec["res4"], h, cfg)
     h = adain(h, m3, s3)
     h = _resblock(params_dec["res3"], h, cfg)
     if tail == "res2":
         h = h.astype(jnp.float32)
+    elif tail == "body":
+        h = h.astype(cfg.dtype)
     h = adain(h, m2, s2)
     h = _resblock(params_dec["res2"], h, tcfg if tail == "res2" else cfg)
     if tail == "out":
@@ -348,12 +366,12 @@ def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     return xs + h
 
 
-def _tail_cfg(cfg: ModelConfig) -> ModelConfig:
-    """Config used inside the fp32 decoder tail (see ModelConfig.fp32_tail)."""
+def _mix_cfg(cfg: ModelConfig) -> ModelConfig:
+    """Config used inside the fp32 decoder tail (see ModelConfig.fp32_mix)."""
     import dataclasses
 
     return dataclasses.replace(cfg, dtype=jnp.float32,
-                               precision=cfg.tail_precision)
+                               precision=cfg.mix_precision)
 
 
 def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
@@ -364,12 +382,22 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     min/max clamping; the filter chain's output is re-normalized at an extra
     site ('ada4') before the style affine; filters come frozen from `stats`.
     """
+    tail = cfg.fp32_mix if cfg.dtype != jnp.float32 else "none"
+    tcfg = _mix_cfg(cfg)
+    if tail in ("dec", "full"):
+        # Whole decoder in the mix config (fp32 storage; 'full' also ran the
+        # encoder in fp32, so the cast below is a no-op there).
+        return decode_global(params_dec, x.astype(jnp.float32), style, stats,
+                             tcfg)
+    if tail == "body":
+        # fp32 storage up to the last residual block; the bandwidth-heavy
+        # full-resolution res2+out stages go back to bf16 (their storage
+        # rounding is a small error term — see ModelConfig.fp32_mix).
+        x = x.astype(jnp.float32)
     prec = precision_for(cfg.dtype, cfg.precision)
     m1, m2, m3, m4 = style.means
     s1, s2, s3, s4 = style.stds
     norms, filt = stats.norms, stats.filters
-    tail = cfg.fp32_tail if cfg.dtype != jnp.float32 else "none"
-    tcfg = _tail_cfg(cfg)
 
     h = _norm_apply(norms["pre"], x)
     ns = (style.map - m4) / s4
@@ -384,6 +412,8 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     h = _resblock_global(params_dec["res3"], h, norms["res3a"], norms["res3b"], cfg)
     if tail == "res2":
         h = h.astype(jnp.float32)
+    elif tail == "body":
+        h = h.astype(cfg.dtype)
     h = _norm_apply(norms["ada2"], h) * s2 + m2
     h = _resblock_global(params_dec["res2"], h, norms["res2a"], norms["res2b"],
                          tcfg if tail == "res2" else cfg)

@@ -67,7 +67,7 @@ def _imencode(img_bgr: np.ndarray, ext: str = ".png") -> bytes:
 class StylizeService:
     """Thread-safe wrapper around one Stylization session."""
 
-    def __init__(self, checkpoint: str, dtype: str = "bf16",
+    def __init__(self, checkpoint: str, dtype: str = "bf16", mix: str = "none",
                  use_global: bool = True):
         import jax.numpy as jnp
 
@@ -75,7 +75,8 @@ class StylizeService:
         from rerevst_tpu.config import ModelConfig
 
         cfg = ModelConfig(
-            dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32)
+            dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+            fp32_mix=mix)
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
         self.lock = threading.Lock()
@@ -232,10 +233,10 @@ class _HttpError(Exception):
 
 
 def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
-          dtype: str = "bf16", use_global: bool = True,
+          dtype: str = "bf16", mix: str = "none", use_global: bool = True,
           max_body_mb: int = DEFAULT_MAX_BODY_MB,
           max_frames: int = DEFAULT_MAX_FRAMES) -> ThreadingHTTPServer:
-    svc = StylizeService(checkpoint, dtype, use_global)
+    svc = StylizeService(checkpoint, dtype, mix, use_global)
     server = ThreadingHTTPServer(
         (host, port), make_handler(svc, max_body_mb << 20, max_frames))
     server.daemon_threads = True
@@ -248,11 +249,16 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--mix", default="none",
+                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
+                    help="fp32-storage region (ModelConfig.fp32_mix); "
+                         "'enc' is the fast parity config")
     ap.add_argument("--no-global", action="store_true")
     ap.add_argument("--max-body-mb", type=int, default=DEFAULT_MAX_BODY_MB)
     ap.add_argument("--max-frames", type=int, default=DEFAULT_MAX_FRAMES)
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,
+                   args.mix,
                    not args.no_global, args.max_body_mb, args.max_frames)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global-pass sampling interval")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--mix", default="none",
+                   choices=["none", "out", "res2", "dec", "enc", "full", "body"],
+                   help="with --dtype bf16: fp32-storage region "
+                        "(ModelConfig.fp32_mix); 'enc' is the fast parity "
+                        "config — see PERF.md")
     p.add_argument("--ewarp", action="store_true",
                    help="also report the E_warp temporal-consistency metric "
                         "of the styled output (Farneback flow)")
@@ -53,7 +58,8 @@ def main(argv=None):
     use_global = not args.no_global
 
     cfg = ModelConfig(
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,
                             fps=args.fps)
