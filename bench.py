@@ -36,7 +36,8 @@ def main():
         return
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f16", "f32"])
     ap.add_argument("--tail", default="none", choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                     help="fp32 storage region (ModelConfig.fp32_mix) — the "
                          "mixed-precision parity configs")
@@ -77,7 +78,8 @@ def main():
     )
     from rerevst_tpu.ops.image import padded_size
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
+             "f32": jnp.float32}[args.dtype]
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision)
     h, w = padded_size(args.size, args.size)  # 512 -> 640x640

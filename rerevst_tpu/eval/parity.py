@@ -114,7 +114,8 @@ def main(argv=None):
     ap.add_argument("--crop", type=int, nargs=2, default=None,
                     metavar=("H", "W"))
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--fast_dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--fast_dtype", default="bf16",
+                    choices=["bf16", "f16", "f32"])
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
     ap.add_argument("--fast_tail", default="none",
@@ -124,7 +125,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     fast = ModelConfig(
-        dtype=jnp.bfloat16 if args.fast_dtype == "bf16" else jnp.float32,
+        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+               "f32": jnp.float32}[args.fast_dtype],
         precision=args.fast_precision, fp32_mix=args.fast_tail)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)
     stats = compare_configs(args.checkpoint, fast, ref,

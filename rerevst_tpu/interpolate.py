@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "sweep through all styles.")
     p.add_argument("--style-size", type=int, default=384,
                    help="styles resized to this square (reference: 384)")
-    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--dtype", default="f32",
+                   choices=["f32", "bf16", "f16"])
     p.add_argument("--mix", default="none",
                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                    help="with --dtype bf16: fp32-storage region "
@@ -49,7 +50,8 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     cfg = ModelConfig(
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+               "f32": jnp.float32}[args.dtype],
         fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval)
 

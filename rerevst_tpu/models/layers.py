@@ -176,6 +176,14 @@ def apply_dynamic_filter(x, filt, precision: Optional[lax.Precision] = None):
     """
     if filt.shape[0] == 1 and x.shape[0] != 1:
         filt = jnp.broadcast_to(filt, (x.shape[0],) + filt.shape[1:])
+    if x.dtype == jnp.float16:
+        # fp16's exponent cannot hold extreme filter values (frozen filters
+        # are unbounded FC outputs); keep operands f32 — the converts fuse
+        # into the matmul's operand loads, products are bf16 either way —
+        # and round only the output to fp16.
+        return jnp.einsum("bhwq,bpq->bhwp", x.astype(jnp.float32),
+                          filt.astype(jnp.float32),
+                          precision=precision).astype(x.dtype)
     return jnp.einsum("bhwq,bpq->bhwp", x, filt.astype(x.dtype),
                       precision=precision)
 

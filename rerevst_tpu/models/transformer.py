@@ -331,12 +331,19 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
 def _norm_apply(st: NormStats, x):
     """Frozen-stats normalize + clamp (``test/style_network_global.py:43-57``).
 
-    Statistics stay fp32; the elementwise apply runs in the activation dtype
-    so no fp32 copy of the (large) activation ever materializes in bf16 mode.
+    Statistics stay fp32.  In bf16 mode the elementwise apply runs in bf16
+    (bf16 covers fp32's exponent range, and no fp32 copy of the large
+    activation materializes).  In fp16 mode it computes in fp32 and casts
+    back: fp16's narrow exponent overflows on degenerate-channel ``rstd``
+    (rsqrt(var+eps) can reach 1e6), and XLA fuses the chain so the fp32
+    intermediate never hits HBM.
     """
     if x.dtype == jnp.float32:
         xf = (x - st.mean) * st.rstd
         return jnp.clip(xf, st.xmin, st.xmax)
+    if x.dtype == jnp.float16:
+        xf = (x.astype(jnp.float32) - st.mean) * st.rstd
+        return jnp.clip(xf, st.xmin, st.xmax).astype(x.dtype)
     xf = (x - st.mean.astype(x.dtype)) * st.rstd.astype(x.dtype)
     return jnp.clip(xf, st.xmin.astype(x.dtype), st.xmax.astype(x.dtype))
 

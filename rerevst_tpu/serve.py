@@ -75,7 +75,8 @@ class StylizeService:
         from rerevst_tpu.config import ModelConfig
 
         cfg = ModelConfig(
-            dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+            dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+                   "f32": jnp.float32}[dtype],
             fp32_mix=mix)
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
@@ -248,7 +249,8 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--port", type=int, default=8787)
     ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f16", "f32"])
     ap.add_argument("--mix", default="none",
                     choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                     help="fp32-storage region (ModelConfig.fp32_mix); "

@@ -35,7 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interval", type=int, default=8,
                    help="global-pass sampling interval")
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--dtype", default="f32",
+                   choices=["f32", "bf16", "f16"])
     p.add_argument("--mix", default="none",
                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                    help="with --dtype bf16: fp32-storage region "
@@ -58,7 +59,8 @@ def main(argv=None):
     use_global = not args.no_global
 
     cfg = ModelConfig(
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+               "f32": jnp.float32}[args.dtype],
         fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,

@@ -83,6 +83,55 @@ def test_tail_ignored_at_fp32(tail):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_f16_storage_runs_and_beats_bf16():
+    """fp16 activation storage: 8x finer rounding than bf16 at the same
+    bandwidth (the TPU-native answer to bf16's storage-rounding error —
+    measured quantitatively in PERF.md).
+
+    Uses the bundled *trained* checkpoint: with trained weights, peak
+    activations are ~1e2 (650x below f16 max).  Random-init weights are out
+    of scope for f16 — their unbounded frozen-filter FC outputs (~1e9)
+    legitimately overflow the format, which is why f16 is an
+    inference-storage option, not a training dtype.
+    """
+    import os
+
+    path = "/root/repo/models/demo_plum_4000.msgpack"
+    if not os.path.exists(path):
+        pytest.skip("demo checkpoint not present")
+    cv2 = pytest.importorskip("cv2")
+    from rerevst_tpu.io.checkpoint import load_params
+
+    frame = cv2.imread(
+        "/root/reference/test/inputs/ambush_4/frame_0001.png")[:64, :96]
+    style_img = cv2.resize(
+        cv2.imread("/root/reference/test/inputs/plum_flower.jpg"), (64, 64))
+    from rerevst_tpu.data.transforms import bgr_to_model
+
+    params32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
+                            load_params(path))
+    ref_cfg = ModelConfig(dtype=jnp.float32)
+    x = jnp.asarray(bgr_to_model(frame))
+    sf = encode_style(params32, jnp.asarray(bgr_to_model(style_img)), ref_cfg)
+    feats = encode_content(params32, x, ref_cfg)
+    stats = collect_stats(params32["decoder"], feats, sf, ref_cfg)
+
+    def run(dtype):
+        p = jax.tree.map(lambda a: jnp.asarray(a, dtype), params32)
+        sfc = jax.tree.map(lambda a: jnp.asarray(a, dtype), sf)
+        f = jnp.asarray(feats, dtype)
+        out = decode_global(p["decoder"], f, sfc, stats,
+                            ModelConfig(dtype=dtype))
+        assert bool(jnp.isfinite(out).all())
+        return np.asarray(out, np.float32)
+
+    ref = run(jnp.float32)
+    err_bf16 = np.abs(run(jnp.bfloat16) - ref).mean()
+    err_f16 = np.abs(run(jnp.float16) - ref).mean()
+    assert err_f16 < err_bf16 * 0.5  # f16 storage is decisively closer
+    assert err_bf16 > 0
+
+
 def test_tail_reduces_error_vs_fp32():
     """On the same (well-conditioned) weights, each tail config must be at
     least as close to the fp32-HIGHEST output as pure bf16 is (measured as
