@@ -46,6 +46,9 @@ def main():
                     help="conv/matmul precision override (ModelConfig."
                          "precision); 'default' with --dtype f32 = fp32 "
                          "storage with single-pass bf16 MXU matmuls")
+    ap.add_argument("--packed", action="store_true",
+                    help="parity-packed boundary convs "
+                         "(ModelConfig.parity_packed)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=96,
                     help="frames per timed repetition")
@@ -81,7 +84,8 @@ def main():
     dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
              "f32": jnp.float32}[args.dtype]
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
-                      precision=args.precision)
+                      precision=args.precision,
+                      parity_packed=args.packed)
     h, w = padded_size(args.size, args.size)  # 512 -> 640x640
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
@@ -155,7 +159,8 @@ def main():
                   + ("" if args.precision == "auto"
                      else f"/{args.precision}")
                   + ("" if args.tail == "none"
-                     else f"+fp32mix:{args.tail}")),
+                     else f"+fp32mix:{args.tail}")
+                  + ("+packed" if args.packed else "")),
         "device": str(jax.devices()[0]),
     }))
 

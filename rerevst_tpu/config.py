@@ -67,6 +67,16 @@ class ModelConfig:
     #: measured-dominant error source); 'high' = bf16x3 products at 3x cost
     #: on the affected convs.
     mix_precision: str = "default"
+    #: Parity-packed (space-to-depth) evaluation of the high-resolution
+    #: small-channel boundary convs — encoder conv1 block (unpack absorbed
+    #: by the 2x2 maxpool) and the decoder's res2+out tail (unpack absorbed
+    #: by the 3-channel output image).  Numerically equal to the direct ops
+    #: up to fp reassociation (tests/test_packed.py).  Kept as a documented
+    #: NEGATIVE result: individually-faster packed convs lose ~20% fps once
+    #: composed (the 4-conv/concat structure defeats XLA fusion) — see the
+    #: measurement table in PERF.md and models/layers.py.  Off by default;
+    #: reproducible via ``bench.py --packed``.
+    parity_packed: bool = False
 
     def with_dtype(self, dtype) -> "ModelConfig":
         return dataclasses.replace(self, dtype=dtype)

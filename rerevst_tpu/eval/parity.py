@@ -118,6 +118,8 @@ def main(argv=None):
                     choices=["bf16", "f16", "f32"])
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
+    ap.add_argument("--fast_packed", action="store_true",
+                    help="parity-packed boundary convs in the fast config")
     ap.add_argument("--fast_tail", default="none",
                     choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                     help="fp32 storage region in the fast config "
@@ -127,7 +129,8 @@ def main(argv=None):
     fast = ModelConfig(
         dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
                "f32": jnp.float32}[args.fast_dtype],
-        precision=args.fast_precision, fp32_mix=args.fast_tail)
+        precision=args.fast_precision, fp32_mix=args.fast_tail,
+        parity_packed=args.fast_packed)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)
     stats = compare_configs(args.checkpoint, fast, ref,
                             n_frames=args.frames,
@@ -139,7 +142,8 @@ def main(argv=None):
         "unit": "mean |Δ| per pixel, [0,1] scale",
         "vs_baseline": stats["mean_01"] / 1e-3,
         "fast_config": (f"{args.fast_dtype}/{args.fast_precision}"
-                        f"/tail={args.fast_tail}"),
+                        f"/tail={args.fast_tail}"
+                        + ("/packed" if args.fast_packed else "")),
         **stats,
         "device": str(jax.devices()[0]),
     }))

@@ -165,6 +165,134 @@ def upsample2x_conv3x3(p, x, precision: Optional[lax.Precision] = None):
     return y
 
 
+# ---------------------------------------------------------------------------
+# Parity-packed (space-to-depth) boundary convs — MEASURED SLOWER END-TO-END
+#
+# Motivation: XLA:TPU executes some high-resolution small-channel convs far
+# below the MXU roofline (v5e, batch 16: the out conv 640^2 x 64->3 runs
+# 10.2 ms direct vs 6.2 packed; the input-dilated upsample-conv at
+# 320^2 x 128->64 runs 8.5 vs 5.0 packed).  Packing the 2x2 pixel parities
+# into channels quarters the spatial extent and quadruples channel width,
+# and the unpack transpose (which costs +3..10 ms standalone) can be
+# absorbed into ops that erase layout anyway: 2x2 maxpool == max over
+# parity groups, and the final RGB image unpacks on 3 channels for ~free.
+#
+# Verdict (kept as a documented negative result; default off): composed
+# into the real pipeline the packing LOSES ~20% fps (f16 236.5 -> 177.6;
+# decoder-tail-only 236.5 -> 197.5).  The per-parity 4-conv + concat
+# structure defeats XLA's elementwise fusion around each conv, the
+# remaining packed ops are individually slower (64->64 conv 13.9 -> 15.9 ms
+# from the 16/9 structured-zero FLOPs; even the parity-max pool loses to
+# reduce_window 3.6 -> 4.9 ms), and the isolated wins don't survive.  See
+# PERF.md "Roofline" for the full measurement table.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth_2x(x):
+    """[B,2H,2W,C] -> [B,H,W,4C]; channel group g = row_parity*2+col_parity."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_2x(x):
+    """Inverse of space_to_depth_2x: [B,H,W,4C] -> [B,2H,2W,C]."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def max_pool_2x2_packed(x):
+    """2x2/2 maxpool of the true layout == max over the 4 parity groups of
+    the packed layout — the unpack is absorbed, no transpose ever runs."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    return x.reshape(b, h, w, 4, c).max(axis=3)
+
+
+def tile_packed(stats):
+    """Per-true-channel constants [..,C] -> packed [..,4C] (group-major)."""
+    return jnp.tile(stats, (1,) * (stats.ndim - 1) + (4,))
+
+
+def _packed_kernel_3x3(w, a, b):
+    """[2,2,4Cin,Cout] kernel computing output parity (a,b) of a true-layout
+    3x3 zero-pad-1 conv from a parity-packed input.
+
+    True row r = 2i+a reads true rows r+p-1 (p in 0..2); in cell/parity
+    coordinates r+p-1 = 2(i+ci-oa)+pa with per-parity padding oa=1-a, giving
+    p = 2*ci - 2*oa + pa - a + 1 (and likewise for columns)."""
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for ci in (0, 1):
+        for pa in (0, 1):
+            p_ = 2 * ci - 2 * (1 - a) + pa - a + 1
+            if not 0 <= p_ <= 2:
+                continue
+            for cj in (0, 1):
+                for pb in (0, 1):
+                    q_ = 2 * cj - 2 * (1 - b) + pb - b + 1
+                    if not 0 <= q_ <= 2:
+                        continue
+                    g = pa * 2 + pb
+                    k = k.at[ci, cj, g * cin:(g + 1) * cin, :].set(w[p_, q_])
+    return k
+
+
+def conv3x3_packed(p, x, precision: Optional[lax.Precision] = None):
+    """True-layout conv3x3 (zero pad 1) evaluated on a parity-packed tensor:
+    packed [B,H,W,4Cin] -> packed [B,H,W,4Cout].
+
+    Four [2,2,4Cin,Cout] convs (one per output parity, 16/9 of the true
+    FLOPs from structured zeros) at 4x the channel width — measurably faster
+    than the direct conv on small-channel high-res shapes (see module note).
+    """
+    w = p["w"]
+    outs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            k = _packed_kernel_3x3(w, a, b)
+            outs.append(lax.conv_general_dilated(
+                x, k.astype(x.dtype), (1, 1),
+                ((1 - a, a), (1 - b, b)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision))
+    y = jnp.concatenate(outs, axis=-1)
+    if "b" in p:
+        y = y + tile_packed(p["b"]).astype(x.dtype)
+    return y
+
+
+def upsample2x_conv3x3_packed(p, x, precision: Optional[lax.Precision] = None):
+    """conv3x3(nearest_upsample_2x(x)) emitted parity-packed:
+    [B,H,W,Cin] -> [B,H,W,4Cout] (true 2x-res output, packed).
+
+    Same pre-summed spread kernel as ``upsample2x_conv3x3``, sliced by
+    output parity instead of expressed through input dilation — identical
+    FLOPs, but the four parity convs tile far better than XLA's dilated
+    lowering at high resolution (1.7x at 320^2 x 128->64, v5e)."""
+    w = p["w"]  # [3,3,Cin,Cout]
+    k = jnp.zeros((4, 4) + w.shape[2:], w.dtype)
+    for t1 in (0, 1):
+        for t2 in (0, 1):
+            k = k.at[t1: t1 + 3, t2: t2 + 3].add(w)
+    outs = []
+    for a in (0, 1):
+        for b in (0, 1):
+            outs.append(lax.conv_general_dilated(
+                x, k[a::2, b::2].astype(x.dtype), (1, 1),
+                ((1 - a, a), (1 - b, b)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision))
+    y = jnp.concatenate(outs, axis=-1)
+    if "b" in p:
+        y = y + tile_packed(p["b"]).astype(x.dtype)
+    return y
+
+
 def apply_dynamic_filter(x, filt, precision: Optional[lax.Precision] = None):
     """Per-sample predicted 1x1 conv: out = einsum('bhwq,bpq->bhwp').
 

@@ -41,12 +41,16 @@ from rerevst_tpu.models.layers import (
     apply_dynamic_filter,
     apply_dynamic_filter_3x3,
     conv2d,
+    conv3x3_packed,
+    depth_to_space_2x,
     init_conv_normal,
     init_linear_normal,
     leaky_relu,
     linear,
     precision_for,
+    tile_packed,
     upsample2x_conv3x3,
+    upsample2x_conv3x3_packed,
 )
 from rerevst_tpu.ops.image import rgb_to_luma_reversed
 from rerevst_tpu.ops.resize import upsample_nearest_2x
@@ -191,10 +195,12 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
     if cfg.fp32_mix in ("enc", "full", "body") and cfg.dtype != jnp.float32:
         f = vgg.encode(params["encoder"], x.astype(jnp.float32),
                        precision=precision_for(jnp.float32,
-                                               cfg.mix_precision))
+                                               cfg.mix_precision),
+                       packed=cfg.parity_packed)
         return f.astype(cfg.dtype) if cfg.fp32_mix == "enc" else f
     return vgg.encode(params["encoder"], x.astype(cfg.dtype),
-                      precision=precision_for(cfg.dtype, cfg.precision))
+                      precision=precision_for(cfg.dtype, cfg.precision),
+                      packed=cfg.parity_packed)
 
 
 def encode_style(params: Dict, style, cfg: ModelConfig) -> StyleFeatures:
@@ -328,6 +334,12 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
 # Building blocks — global (frozen statistics) graph
 # ---------------------------------------------------------------------------
 
+def _tile_stats(st: NormStats) -> NormStats:
+    """Per-channel frozen stats [1,1,1,C] -> parity-packed [1,1,1,4C]."""
+    return NormStats(tile_packed(st.mean), tile_packed(st.rstd),
+                     tile_packed(st.xmin), tile_packed(st.xmax))
+
+
 def _norm_apply(st: NormStats, x):
     """Frozen-stats normalize + clamp (``test/style_network_global.py:43-57``).
 
@@ -422,6 +434,27 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     elif tail == "body":
         h = h.astype(cfg.dtype)
     h = _norm_apply(norms["ada2"], h) * s2 + m2
+    if cfg.parity_packed:
+        # Parity-packed tail: res2's upsample-conv emits packed, every op
+        # through the out conv stays packed, and the unpack happens on the
+        # 3-channel output image (see layers.py module note).
+        rprec = (precision_for(tcfg.dtype, tcfg.precision)
+                 if tail == "res2" else prec)
+        oprec = (precision_for(tcfg.dtype, tcfg.precision)
+                 if tail != "none" else prec)
+        p2 = params_dec["res2"]
+        hp = upsample2x_conv3x3_packed(p2["conv1"], h, precision=rprec)
+        hp = _norm_apply(_tile_stats(norms["res2a"]), leaky_relu(hp))
+        hp = conv3x3_packed(p2["conv2"], hp, precision=rprec)
+        hp = _norm_apply(_tile_stats(norms["res2b"]), leaky_relu(hp))
+        xs = conv2d(p2["shortcut"], h, padding=0, precision=rprec)
+        hp = hp + tile_packed(xs)  # nearest-2x == parity replicate
+        if tail == "out":
+            hp = hp.astype(jnp.float32)
+        hp = (_norm_apply(_tile_stats(norms["ada1"]), hp)
+              * tile_packed(s1) + tile_packed(m1))
+        return depth_to_space_2x(
+            conv3x3_packed(params_dec["out"], hp, precision=oprec))
     h = _resblock_global(params_dec["res2"], h, norms["res2a"], norms["res2b"],
                          tcfg if tail == "res2" else cfg)
     if tail == "out":

@@ -134,7 +134,31 @@ def vgg_features(params: Dict, x, upto: str = "relu4_1",
     )
 
 
-def encode(params: Dict, x, precision=None) -> jnp.ndarray:
+def encode(params: Dict, x, precision=None, packed: bool = False) -> jnp.ndarray:
     """Content encoder: features through relu4_1, final map only
-    (``test/style_network_global.py:271-281``)."""
-    return vgg_features(params, x, "relu4_1", precision).relu4_1
+    (``test/style_network_global.py:271-281``).
+
+    ``packed=True`` evaluates the conv1 block parity-packed (space-to-depth
+    2x: quarter resolution, 4x channels — the MXU-friendly shape for the
+    640^2 x 64ch layers) with the unpack absorbed into the following 2x2
+    maxpool, which is exactly a max over parity groups.  Equal to the
+    direct path up to fp reassociation; requires even H and W (the
+    inference geometry is x64-padded, and raw video frames are even)."""
+    if not packed or x.shape[1] % 2 or x.shape[2] % 2:
+        return vgg_features(params, x, "relu4_1", precision).relu4_1
+    from rerevst_tpu.models.layers import (
+        conv3x3_packed,
+        max_pool_2x2_packed,
+        space_to_depth_2x,
+    )
+
+    h = space_to_depth_2x(x)
+    h = jnp.maximum(conv3x3_packed(params["conv1_1"], h, precision), 0.0)
+    h = jnp.maximum(conv3x3_packed(params["conv1_2"], h, precision), 0.0)
+    h = max_pool_2x2_packed(h)  # -> true layout at half res (conv2_1 input)
+    for name, _, _ in VGG_CONVS[2:]:
+        if name in _POOL_BEFORE and name != "conv2_1":
+            h = max_pool_2x2(h)
+        h = conv2d(params[name], h, padding=1, precision=precision)
+        h = jnp.maximum(h, 0.0)
+    return h

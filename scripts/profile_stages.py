@@ -11,6 +11,10 @@ Usage: python scripts/profile_stages.py [--batch 16] [--size 512]
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
