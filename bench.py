@@ -9,8 +9,11 @@ and prints ONE JSON line:
      "vs_baseline": N/200, ...}
 
 Baseline: the driver target of 200 frames/sec/chip (BASELINE.json; the
-reference repo publishes no numbers).  Flags: --dtype {bf16,f32}, --batch N,
---frames N, --quick.
+reference repo publishes no numbers).  The default config (f16 storage,
+batch 32) is the headline operating point: parity-passing (0.54e-3/pixel
+vs fp32-HIGHEST, see PERF.md) at full throughput.  Flags: --dtype
+{bf16,f16,f32}, --tail/--precision (mixed-precision study), --packed,
+--batch N, --frames N, --quick, --mode {infer,train,multistyle,1080p,parity}.
 """
 
 import argparse
@@ -36,8 +39,11 @@ def main():
         return
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="bf16",
-                    choices=["bf16", "f16", "f32"])
+    ap.add_argument("--dtype", default="f16",
+                    choices=["bf16", "f16", "f32"],
+                    help="f16 (default) = the headline config: parity-"
+                         "passing (0.54e-3/pixel vs fp32-HIGHEST) at full "
+                         "throughput — see PERF.md precision study")
     ap.add_argument("--tail", default="none", choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                     help="fp32 storage region (ModelConfig.fp32_mix) — the "
                          "mixed-precision parity configs")
@@ -49,8 +55,9 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="parity-packed boundary convs "
                          "(ModelConfig.parity_packed)")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--frames", type=int, default=96,
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 32 (infer/multistyle), 8 (1080p)")
+    ap.add_argument("--frames", type=int, default=192,
                     help="frames per timed repetition")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
@@ -63,9 +70,13 @@ def main():
                          "1080p inference; parity: bf16-vs-fp32 pixel error "
                          "on the real ambush_4 fixture (handled above)")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 8 if args.mode == "1080p" else 32
     if args.mode == "1080p":
-        args.size, args.batch = 1080, max(args.batch // 2, 4)
+        args.size = 1080
     if args.mode == "train":
+        if args.dtype == "f16":
+            args.dtype = "f32"  # f16 is inference storage, not a train dtype
         bench_train(args)
         return
     if args.quick:

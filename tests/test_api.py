@@ -280,15 +280,19 @@ class TestEwarp:
 
 
 class TestBundledDemoModel:
-    def test_demo_checkpoint_stylizes(self, fixture_frames):
-        """The committed demo checkpoint loads and stylizes end to end."""
+    @pytest.mark.parametrize("dtype_name", ["bfloat16", "float16"])
+    def test_demo_checkpoint_stylizes(self, fixture_frames, dtype_name):
+        """The committed demo checkpoint loads and stylizes end to end in
+        both low-precision session configs (f16 = the headline parity
+        config, PERF.md)."""
         import jax.numpy as jnp_
 
         path = "/root/repo/models/demo_plum_4000.msgpack"
         if not os.path.exists(path):
             pytest.skip("demo checkpoint not present")
         s = Stylization(checkpoint=path,
-                        cfg=ModelConfig(dtype=jnp_.bfloat16), infer=INFER)
+                        cfg=ModelConfig(dtype=getattr(jnp_, dtype_name)),
+                        infer=INFER)
         frames, style = fixture_frames
         s.prepare_style(style)
         s.prepare_global([frames[0], frames[2], frames[4]])
