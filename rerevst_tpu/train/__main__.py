@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_shift_level", type=int, default=10)
 
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--vgg_init", default="torch",
+                   choices=["torch", "he_relu"],
+                   help="VGG init for fresh backbones: 'he_relu' keeps deep "
+                        "features O(1) when no pretrained VGG exists "
+                        "(the bundled demo model's recipe)")
     return p
 
 
@@ -119,7 +124,8 @@ def main(argv=None):
     cfg = config_from_args(args)
     print(cfg)
     train(cfg, max_steps=args.max_steps, resume=args.continue_training,
-          pretrained=args.pretrained, load_step=args.load_step)
+          pretrained=args.pretrained, load_step=args.load_step,
+          vgg_init=args.vgg_init)
 
 
 if __name__ == "__main__":

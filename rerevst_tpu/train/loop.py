@@ -142,7 +142,8 @@ def _dump_diagnostics(params, content, style, key, cfg, epoch, extra):
 def train(cfg: TrainConfig, params: Optional[Dict] = None,
           max_steps: Optional[int] = None, resume: bool = False,
           pretrained: Optional[str] = None,
-          load_step: Optional[int] = None) -> TrainState:
+          load_step: Optional[int] = None,
+          vgg_init: str = "torch") -> TrainState:
     """Run training; returns the final state.
 
     `pretrained` initialises params from a checkpoint (.pth via the 3-stage
@@ -150,11 +151,16 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
     reference's ``LoadPretrained`` (``train/train.py:124-157``).  `resume`
     restores the full train state from `cfg.out_dir`; `load_step` pins a
     specific step (the ``--load_epoch`` analog) instead of the newest.
+    `vgg_init` ('torch' | 'he_relu') selects the VGG init scheme for
+    freshly-initialised backbones — 'he_relu' keeps deep features O(1) when
+    no pretrained VGG weights exist (see ``vgg.init_vgg_params``); grafted
+    subtrees from `pretrained` override it.
     """
     net = TransformerNet(cfg.model)
     if params is None:
         params = init_transformer_params(jax.random.PRNGKey(cfg.seed),
-                                         cfg.model, with_loss_net=True)
+                                         cfg.model, with_loss_net=True,
+                                         vgg_scheme=vgg_init)
     if pretrained is not None:
         from rerevst_tpu.io.torch_compat import load_pretrained
 
