@@ -130,3 +130,42 @@ def test_convert_cli(ckpt, tmp_path, capsys):
     back = str(tmp_path / "m2.msgpack")
     convert.main([pth, back])
     assert os.path.getsize(back) > 1000
+
+
+def test_train_parser_vgg_init_and_precision_surface():
+    """The demo model's he_relu recipe is expressible through the CLI, and
+    the reference's full flag surface still parses."""
+    from rerevst_tpu.train.__main__ import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        "--dynamic_filter", "--both_sty_con", "--style_content_loss",
+        "--recon_loss", "--tv_loss", "--temporal_loss", "--relax_style",
+        "--data_sigma", "--data_w", "--vgg_init", "he_relu",
+        "--pretrained", "x.msgpack", "--load_step", "4000",
+        "--epoches", "500", "--max_steps", "4000",
+    ])
+    assert args.vgg_init == "he_relu"
+    assert args.pretrained == "x.msgpack" and args.load_step == 4000
+    cfg = config_from_args(args)
+    assert cfg.epochs == 500 and cfg.loss.relax_style
+
+
+def test_train_vgg_init_changes_fresh_backbones_only():
+    """vgg_init affects freshly-initialised VGG copies; he_relu keeps deep
+    features O(1) (the property the flag exists for)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.models.vgg import encode
+
+    cfg = ModelConfig()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 3)) * 0.5
+    feats = {}
+    for scheme in ("torch", "he_relu"):
+        p = init_transformer_params(jax.random.PRNGKey(0), cfg,
+                                    with_loss_net=False, vgg_scheme=scheme)
+        feats[scheme] = float(jnp.abs(encode(p["encoder"], x)).mean())
+    assert feats["he_relu"] > 10 * feats["torch"]
+    assert 0.01 < feats["he_relu"] < 100
