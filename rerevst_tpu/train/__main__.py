@@ -7,6 +7,9 @@ model is ``--dynamic_filter --both_sty_con --style_content_loss --recon_loss
 """
 
 import argparse
+import os
+
+import jax
 
 import jax.numpy as jnp
 
@@ -120,9 +123,17 @@ def config_from_args(a) -> TrainConfig:
 
 
 def main(argv=None):
+    # Persistent compile cache: long runs go through hundreds of small
+    # jitted/eager compiles (optimizer init, logging reductions) that are
+    # expensive on remote-compile platforms; cache them across restarts.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    print(cfg)
+    print(cfg, flush=True)
     train(cfg, max_steps=args.max_steps, resume=args.continue_training,
           pretrained=args.pretrained, load_step=args.load_step,
           vgg_init=args.vgg_init)

@@ -157,34 +157,49 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
     subtrees from `pretrained` override it.
     """
     net = TransformerNet(cfg.model)
-    if params is None:
-        params = init_transformer_params(jax.random.PRNGKey(cfg.seed),
-                                         cfg.model, with_loss_net=True,
-                                         vgg_scheme=vgg_init)
-    if pretrained is not None:
-        from rerevst_tpu.io.torch_compat import load_pretrained
+    # All host-side prep (param init, checkpoint graft/restore, optimizer
+    # zeros) runs on the CPU backend: on remote-compile platforms (the
+    # tunneled TPU) every eager op is a compile round-trip, so dozens of
+    # random.normal/zeros_like shapes take tens of minutes if issued against
+    # the accelerator.  The first jitted train step transfers the whole
+    # state to the device once.
+    import contextlib
 
-        params, stage = load_pretrained(pretrained, params)
-        params = jax.tree.map(jnp.asarray, params)
-        print(f"initialized from {pretrained} (stage: {stage})")
-    state = init_train_state(params, cfg)
-    start_step = 0
-    if resume:
-        if load_step is not None:
-            from rerevst_tpu.io.checkpoint import checkpoint_at_step
+    try:
+        host = jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        host = contextlib.nullcontext()
+    with host:
+        if params is None:
+            params = init_transformer_params(jax.random.PRNGKey(cfg.seed),
+                                             cfg.model, with_loss_net=True,
+                                             vgg_scheme=vgg_init)
+        if pretrained is not None:
+            from rerevst_tpu.io.torch_compat import load_pretrained
 
-            ck = checkpoint_at_step(cfg.out_dir, load_step)
-            if ck is None:
-                raise FileNotFoundError(
-                    f"Cannot find checkpoint for step {load_step} "
-                    f"in {cfg.out_dir}")
-        else:
-            ck = latest_checkpoint(cfg.out_dir)
-        if ck is not None:
-            path, start_step = ck
-            p, o = restore_train_state(path, state.params, state.opt_state)
-            state = TrainState(p, o, jnp.asarray(start_step, jnp.int32))
-            print(f"resumed from {path} @ step {start_step}")
+            params, stage = load_pretrained(pretrained, params)
+            params = jax.tree.map(jnp.asarray, params)
+            print(f"initialized from {pretrained} (stage: {stage})",
+                  flush=True)
+        state = init_train_state(params, cfg)
+        start_step = 0
+        if resume:
+            if load_step is not None:
+                from rerevst_tpu.io.checkpoint import checkpoint_at_step
+
+                ck = checkpoint_at_step(cfg.out_dir, load_step)
+                if ck is None:
+                    raise FileNotFoundError(
+                        f"Cannot find checkpoint for step {load_step} "
+                        f"in {cfg.out_dir}")
+            else:
+                ck = latest_checkpoint(cfg.out_dir)
+            if ck is not None:
+                path, start_step = ck
+                p, o = restore_train_state(path, state.params,
+                                           state.opt_state)
+                state = TrainState(p, o, jnp.asarray(start_step, jnp.int32))
+                print(f"resumed from {path} @ step {start_step}", flush=True)
 
     d_state = None
     if cfg.loss.adversarial_loss:
@@ -243,7 +258,8 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                       f"Content: {m['content']:.3f}, "
                       f"Recon: {m['recon']:.3f}, TV: {m['tv']:.3f}, "
                       f"Temporal: {m['temporal']:.3f} "
-                      f"({m['temporal_gt']:.3f})  [{dt:.2f}s/it]")
+                      f"({m['temporal_gt']:.3f})  [{dt:.2f}s/it]",
+                      flush=True)
                 logger.log(it, metrics)
 
             if it % cfg.log_every == 0:
