@@ -236,52 +236,58 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
     it = int(start_step)
     t0 = time.time()
     done = False
-    for epoch in range(1, cfg.epochs + 1):
-        if done:
-            break
-        for batch in loader:
-            content = jnp.asarray(batch["Content"])
-            style = jnp.asarray(batch["Style"])
-            extra = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k not in ("Content", "Style")} or None
-            key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, content, style, sub, extra)
-            it += 1
-            cur_total += float(metrics["total"])
-
-            if it % cfg.scalar_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                dt = (time.time() - t0) / cfg.scalar_every
-                t0 = time.time()
-                print(f"[Epoch {epoch}/{cfg.epochs}][Iter {it}] "
-                      f"New Style: {m['new_style']:.3f}, "
-                      f"Content: {m['content']:.3f}, "
-                      f"Recon: {m['recon']:.3f}, TV: {m['tv']:.3f}, "
-                      f"Temporal: {m['temporal']:.3f} "
-                      f"({m['temporal_gt']:.3f})  [{dt:.2f}s/it]",
-                      flush=True)
-                logger.log(it, metrics)
-
-            if it % cfg.log_every == 0:
-                cur_total /= cfg.log_every
-                if cur_total < min_total:
-                    min_total = cur_total
-                    save_train_state(cfg.out_dir, it, state.params,
-                                     state.opt_state)
-                    if d_state is not None:
-                        from rerevst_tpu.io.checkpoint import save_params
-
-                        save_params(os.path.join(cfg.out_dir, "netD.msgpack"),
-                                    d_state.params)
-                cur_total = 0.0
-                if validation is not None:
-                    validation.save_results(state.params, epoch)
-                _dump_diagnostics(state.params, content, style, key, cfg,
-                                  epoch, extra)
-
-            if max_steps is not None and it - int(start_step) >= max_steps:
-                done = True
+    try:
+        for epoch in range(1, cfg.epochs + 1):
+            if done:
                 break
-    save_train_state(cfg.out_dir, it, state.params, state.opt_state)
-    logger.close()
+            for batch in loader:
+                content = jnp.asarray(batch["Content"])
+                style = jnp.asarray(batch["Style"])
+                extra = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k not in ("Content", "Style")} or None
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, content, style, sub, extra)
+                it += 1
+                cur_total += float(metrics["total"])
+
+                if it % cfg.scalar_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = (time.time() - t0) / cfg.scalar_every
+                    t0 = time.time()
+                    print(f"[Epoch {epoch}/{cfg.epochs}][Iter {it}] "
+                          f"New Style: {m['new_style']:.3f}, "
+                          f"Content: {m['content']:.3f}, "
+                          f"Recon: {m['recon']:.3f}, TV: {m['tv']:.3f}, "
+                          f"Temporal: {m['temporal']:.3f} "
+                          f"({m['temporal_gt']:.3f})  [{dt:.2f}s/it]",
+                          flush=True)
+                    logger.log(it, metrics)
+
+                if it % cfg.log_every == 0:
+                    cur_total /= cfg.log_every
+                    if cur_total < min_total:
+                        min_total = cur_total
+                        save_train_state(cfg.out_dir, it, state.params,
+                                         state.opt_state)
+                        if d_state is not None:
+                            from rerevst_tpu.io.checkpoint import save_params
+
+                            save_params(os.path.join(cfg.out_dir, "netD.msgpack"),
+                                        d_state.params)
+                    cur_total = 0.0
+                    if validation is not None:
+                        validation.save_results(state.params, epoch)
+                    _dump_diagnostics(state.params, content, style, key, cfg,
+                                      epoch, extra)
+
+                if max_steps is not None and it - int(start_step) >= max_steps:
+                    done = True
+                    break
+    finally:
+        # A crash (loader death, device loss, SIGTERM-as-exception) at step
+        # N-1 must not lose the run: always flush a step-tagged checkpoint
+        # for whatever progress exists before re-raising.
+        if it > int(start_step):
+            save_train_state(cfg.out_dir, it, state.params, state.opt_state)
+        logger.close()
     return state

@@ -70,6 +70,34 @@ def test_resume_continues_from_checkpoint(tiny_world):
     assert int(state.step) >= 3
 
 
+def test_crash_mid_loop_still_checkpoints(tiny_world, monkeypatch):
+    """A crash between log points must not lose the run: the loop's finally
+    block flushes a step-tagged checkpoint for whatever progress exists."""
+    import dataclasses
+
+    from rerevst_tpu.io.checkpoint import latest_checkpoint
+    from rerevst_tpu.train import loop as loop_mod
+
+    cfg = _cfg(tiny_world)
+    # log_every high enough that no loss-gated save ever runs.
+    cfg = dataclasses.replace(cfg, log_every=100, epochs=10)
+
+    calls = {"n": 0}
+    real_log = loop_mod.MetricsLogger.log
+
+    def bomb(self, step, metrics):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated loader/device death")
+        return real_log(self, step, metrics)
+
+    monkeypatch.setattr(loop_mod.MetricsLogger, "log", bomb)
+    with pytest.raises(RuntimeError, match="simulated"):
+        loop_mod.train(cfg, max_steps=50)
+    ck = latest_checkpoint(cfg.out_dir)
+    assert ck is not None and ck[1] == 2
+
+
 def test_adversarial_loop_trains_discriminator(tiny_world):
     """--adaversarial_loss wires the alternating D/G step into the loop."""
     import dataclasses
