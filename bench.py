@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import sys
 
     # Parity mode delegates wholesale to the parity CLI (its flag surface —

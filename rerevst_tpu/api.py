@@ -229,13 +229,38 @@ class Stylization:
             self.prepare_global(sampled)
 
         h, w = frames_bgr[0].shape[:2]
-        for start in range(0, n, bs):
-            chunk = frames_bgr[start : start + bs]
+        chunks = [frames_bgr[s : s + bs] for s in range(0, n, bs)]
+
+        def _prep_chunk(chunk):
+            # Runs on the prefetch thread: host decode/normalize/pad plus the
+            # H2D upload, overlapped with the device computing the previous
+            # batch (transfers through the tunnel are the slow part here).
             x = jnp.concatenate([self._prep(f) for f in chunk], axis=0)
             if x.shape[0] < bs and n > bs:
                 # Keep the jitted shape stable on the ragged tail.
                 reps = bs - x.shape[0]
                 x = jnp.concatenate([x, jnp.repeat(x[-1:], reps, 0)], axis=0)
-            out = np.asarray(crop_back(self._stylize(x), h, w, self.infer.pad))
-            for i in range(len(chunk)):
+            return x
+
+        def _drain(pending):
+            out_dev, count = pending
+            out = np.asarray(out_dev)  # blocks on D2H; device is already
+            for i in range(count):     # busy with the next batch.
                 yield model_to_bgr(out[i : i + 1])
+
+        # Double-buffered pipeline: while batch k computes, the worker preps
+        # and uploads batch k+1 and the main thread fetches batch k-1.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(_prep_chunk, chunks[0])
+            pending = None  # (device result, frames in it)
+            for k, chunk in enumerate(chunks):
+                x = nxt.result()
+                if k + 1 < len(chunks):
+                    nxt = ex.submit(_prep_chunk, chunks[k + 1])
+                out_dev = crop_back(self._stylize(x), h, w, self.infer.pad)
+                if pending is not None:
+                    yield from _drain(pending)
+                pending = (out_dev, len(chunk))
+            yield from _drain(pending)

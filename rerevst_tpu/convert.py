@@ -14,6 +14,9 @@ import argparse
 
 
 def main(argv=None):
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser("rerevst_tpu.convert")
     ap.add_argument("src", help=".pth or .msgpack checkpoint")
     ap.add_argument("dst", help="output path (.msgpack or .pth)")

@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import cv2
     import jax.numpy as jnp
 

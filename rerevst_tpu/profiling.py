@@ -17,6 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache() -> None:
+    """Point JAX at the persistent compilation cache.
+
+    Every CLI entry point calls this first: on remote-compile platforms
+    (the tunneled TPU) each process otherwise re-pays minutes of
+    compilation for the same graphs on every invocation.  Honors
+    ``JAX_COMPILATION_CACHE_DIR``; defaults to ``~/.cache/jax``.
+    """
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""

@@ -245,6 +245,9 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
 
 
 def main(argv=None):
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser("rerevst_tpu.serve")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--port", type=int, default=8787)

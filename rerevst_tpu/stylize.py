@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     args = build_parser().parse_args(argv)

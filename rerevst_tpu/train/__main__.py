@@ -123,13 +123,9 @@ def config_from_args(a) -> TrainConfig:
 
 
 def main(argv=None):
-    # Persistent compile cache: long runs go through hundreds of small
-    # jitted/eager compiles (optimizer init, logging reductions) that are
-    # expensive on remote-compile platforms; cache them across restarts.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     os.path.expanduser("~/.cache/jax")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from rerevst_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
