@@ -280,14 +280,17 @@ class TestEwarp:
 
 
 class TestBundledDemoModel:
-    @pytest.mark.parametrize("dtype_name", ["bfloat16", "float16"])
-    def test_demo_checkpoint_stylizes(self, fixture_frames, dtype_name):
-        """The committed demo checkpoint loads and stylizes end to end in
+    @pytest.mark.parametrize("dtype_name,model", [
+        ("bfloat16", "demo_plum_4000"), ("float16", "demo_plum_4000"),
+        ("float16", "demo_multi_4500")])
+    def test_demo_checkpoint_stylizes(self, fixture_frames, dtype_name,
+                                      model):
+        """The committed demo checkpoints load and stylize end to end in
         both low-precision session configs (f16 = the headline parity
         config, PERF.md)."""
         import jax.numpy as jnp_
 
-        path = "/root/repo/models/demo_plum_4000.msgpack"
+        path = f"/root/repo/models/{model}.msgpack"
         if not os.path.exists(path):
             pytest.skip("demo checkpoint not present")
         s = Stylization(checkpoint=path,
