@@ -84,6 +84,18 @@ class TestStylization:
             np.testing.assert_allclose(
                 a.astype(np.int16), b.astype(np.int16), atol=1)
 
+    def test_stylize_video_prefetch_error_propagates(self, fixture_frames):
+        """A bad frame mid-clip must raise out of the pipelined generator
+        (not hang the prefetch thread or yield silently truncated output)."""
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        bad = list(frames)
+        bad[3] = None  # breaks bgr_to_model in the prefetch worker
+        with pytest.raises(Exception):
+            list(s.stylize_video(bad, batch_size=2))
+
     def test_per_frame_mode(self, fixture_frames):
         frames, style = fixture_frames
         s = Stylization(params=_params(), cfg=CFG, use_global=False,
