@@ -83,7 +83,9 @@ def main():
         bench_train(args)
         return
     if args.quick:
-        args.frames, args.reps = 2 * args.batch, 2
+        # 4 chained iters (not 2): per-call time comes from (t_n - t_1)/(n-1),
+        # and a 1-iter difference is swamped by tunnel RPC jitter.
+        args.frames, args.reps = 4 * args.batch, 2
 
     from rerevst_tpu.config import ModelConfig
     from rerevst_tpu.models.transformer import (
