@@ -114,7 +114,7 @@ def main(argv=None):
     ap.add_argument("--crop", type=int, nargs=2, default=None,
                     metavar=("H", "W"))
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--fast_dtype", default="bf16",
+    ap.add_argument("--fast_dtype", default="f16",
                     choices=["bf16", "f16", "f32"])
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
