@@ -40,6 +40,38 @@ def iter_frames(pattern: str) -> Iterator[np.ndarray]:
         yield read_frame(p)
 
 
+#: Extensions treated as container video files by the drivers (the
+#: reference only reads frame directories; video-file input is new here).
+VIDEO_EXTS = (".avi", ".mp4", ".mov", ".mkv", ".webm", ".m4v")
+
+
+def is_video_file(path: str) -> bool:
+    return (os.path.splitext(path)[1].lower() in VIDEO_EXTS
+            and os.path.isfile(path))
+
+
+def read_video(path: str, max_frames: int = 0) -> List[np.ndarray]:
+    """Decode a video file into BGR uint8 frames (all of them by default)."""
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path!r}")
+    frames: List[np.ndarray] = []
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame)
+            if max_frames and len(frames) >= max_frames:
+                break
+    finally:
+        cap.release()
+    if not frames:
+        raise ValueError(f"no decodable frames in {path!r}")
+    return frames
+
+
 def write_frame(path: str, img_bgr: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     _cv2().imwrite(path, img_bgr)

@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("rerevst_tpu.stylize")
     p.add_argument("--style", required=True, help="style image path")
     p.add_argument("--frames", required=True,
-                   help="glob of content frames, e.g. 'clip/*.png'")
+                   help="glob of content frames (e.g. 'clip/*.png') or a "
+                        "video file (.avi/.mp4/.mov/...)")
     p.add_argument("--checkpoint", required=True,
                    help=".pth (reference) or .msgpack (native) weights")
     p.add_argument("-o", "--out", default="./result_frames")
@@ -77,13 +78,18 @@ def main(argv=None):
                             infer=infer, mesh=mesh)
     framework.prepare_style(vio.read_frame(args.style))
 
-    frame_paths = vio.list_frames(args.frames)
-    if not frame_paths:
-        raise SystemExit(f"no frames match {args.frames!r}")
-    frames = [vio.read_frame(p) for p in frame_paths]
+    if vio.is_video_file(args.frames):
+        frames = vio.read_video(args.frames)
+        frame_paths = [f"frame_{i + 1:04d}.png" for i in range(len(frames))]
+        clip_name = os.path.splitext(os.path.basename(args.frames))[0]
+    else:
+        frame_paths = vio.list_frames(args.frames)
+        if not frame_paths:
+            raise SystemExit(f"no frames match {args.frames!r}")
+        frames = [vio.read_frame(p) for p in frame_paths]
+        clip_name = os.path.basename(os.path.dirname(frame_paths[0]))
 
     style_name = os.path.splitext(os.path.basename(args.style))[0]
-    clip_name = os.path.basename(os.path.dirname(frame_paths[0]))
     name = f"ReReVST-{style_name}-{clip_name}" + (
         "" if use_global else "-no-global")
     out_dir = os.path.join(args.out, name)

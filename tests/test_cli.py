@@ -55,6 +55,27 @@ def test_stylize_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
     assert glob.glob(os.path.join(vout, "*.avi"))
 
 
+def test_stylize_cli_video_file_input(tiny_clip, ckpt, tmp_path, capsys):
+    """--frames accepts a container video file, not just a frame glob."""
+    import cv2
+
+    from rerevst_tpu import stylize
+    from rerevst_tpu.data.video import read_video, write_video
+
+    clip, style = tiny_clip
+    vid = str(tmp_path / "in_clip.avi")
+    write_video(vid, [cv2.imread(p)
+                      for p in sorted(glob.glob(f"{clip}/f*.png"))])
+    assert len(read_video(vid)) == 5
+    out = str(tmp_path / "vframes")
+    stylize.main(["--style", style, "--frames", vid, "--checkpoint", ckpt,
+                  "-o", out, "--no-video", "--batch", "2", "--interval", "2"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    # Output directory is named after the video file's stem.
+    assert glob.glob(os.path.join(out, "*in_clip*", "frame_0005.png"))
+
+
 def test_interpolate_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
     from rerevst_tpu import interpolate
 
