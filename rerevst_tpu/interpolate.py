@@ -19,7 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("rerevst_tpu.interpolate")
     p.add_argument("--styles", nargs="+", required=True,
                    help="2+ style image paths")
-    p.add_argument("--frames", required=True)
+    p.add_argument("--frames", required=True,
+                   help="glob of content frames or a video file")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("-o", "--out", default="./result_interp")
     p.add_argument("--interval", type=int, default=16)
@@ -64,10 +65,14 @@ def main(argv=None):
               for s in args.styles]
     ms.prepare_styles(styles)
 
-    frame_paths = vio.list_frames(args.frames)
-    if not frame_paths:
-        raise SystemExit(f"no frames match {args.frames!r}")
-    frames = [vio.read_frame(p) for p in frame_paths]
+    if vio.is_video_file(args.frames):
+        frames = vio.read_video(args.frames)
+        frame_paths = [f"frame_{i + 1:04d}.png" for i in range(len(frames))]
+    else:
+        frame_paths = vio.list_frames(args.frames)
+        if not frame_paths:
+            raise SystemExit(f"no frames match {args.frames!r}")
+        frames = [vio.read_frame(p) for p in frame_paths]
 
     weights = None
     if args.weights is not None:

@@ -90,6 +90,25 @@ def test_interpolate_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
     assert len(glob.glob(os.path.join(out, "*.png"))) == 5
 
 
+def test_interpolate_cli_video_file_input(tiny_clip, ckpt, tmp_path, capsys):
+    import cv2
+
+    from rerevst_tpu import interpolate
+    from rerevst_tpu.data.video import write_video
+
+    clip, style = tiny_clip
+    vid = str(tmp_path / "in_clip.avi")
+    write_video(vid, [cv2.imread(p)
+                      for p in sorted(glob.glob(f"{clip}/f*.png"))])
+    out = str(tmp_path / "vinterp")
+    interpolate.main(["--styles", style, f"{clip}/f001.png",
+                      "--frames", vid, "--checkpoint", ckpt,
+                      "-o", out, "--interval", "2", "--style-size", "64"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    assert os.path.exists(os.path.join(out, "frame_0005.png"))
+
+
 def test_interpolate_three_styles_explicit_weights(tiny_clip, ckpt, tmp_path,
                                                    capsys):
     """General N-way weighting: 3 styles, explicit per-frame schedule
