@@ -32,9 +32,18 @@ def main():
 
     # Parity mode delegates wholesale to the parity CLI (its flag surface —
     # --frames/--crop/--fast_dtype/... — overlaps this parser's, so intercept
-    # before parsing).
+    # before parsing).  Both argparse spellings are accepted: "--mode parity"
+    # and "--mode=parity"; a trailing bare "--mode" falls through to argparse
+    # for a proper error.
     argv = sys.argv[1:]
-    if "--mode" in argv and argv[argv.index("--mode") + 1] == "parity":
+    if "--mode=parity" in argv:
+        from rerevst_tpu.eval.parity import main as parity_main
+
+        i = argv.index("--mode=parity")
+        parity_main(argv[:i] + argv[i + 1:])
+        return
+    if ("--mode" in argv and argv.index("--mode") + 1 < len(argv)
+            and argv[argv.index("--mode") + 1] == "parity"):
         from rerevst_tpu.eval.parity import main as parity_main
 
         i = argv.index("--mode")
@@ -149,7 +158,10 @@ def main():
         t0 = time.perf_counter()
         x = batch
         for _ in range(n):
-            x = hot(params, x, sf, stats)
+            # Cast back to the bench dtype: with an fp32 mix tail the output
+            # is fp32, and feeding it straight back would compile (and time)
+            # a second fp32-input executable instead of the production one.
+            x = hot(params, x, sf, stats).astype(dtype)
         float(jnp.mean(x.astype(jnp.float32)))
         return time.perf_counter() - t0
 

@@ -114,6 +114,12 @@ class LossConfig:
     old_style_loss: bool = False
     adversarial_loss: bool = False
 
+    #: GAN objective (``train/other_networks.py:81-101``): 'lsgan' (the only
+    #: mode the reference driver instantiates, ``train/train.py:287``),
+    #: 'vanilla' (BCE-with-logits), or 'wgangp' (mean; the reference has no
+    #: gradient-penalty term either).
+    gan_mode: str = "lsgan"
+
     content_weight: float = 1.0
     style_weight: float = 20.0
     recon_weight: float = 20.0

@@ -330,4 +330,10 @@ def apply_dynamic_filter_3x3(x, filt, precision: Optional[lax.Precision] = None)
 
     if filt.shape[0] == 1 and x.shape[0] != 1:
         filt = jnp.broadcast_to(filt, (x.shape[0],) + filt.shape[1:])
+    if x.dtype == jnp.float16:
+        # Same fp16 range hazard as apply_dynamic_filter: the predicted
+        # kernels are unbounded FC outputs, so compute in f32 and round
+        # only the result.
+        return jax.vmap(one)(x.astype(jnp.float32),
+                             filt.astype(jnp.float32)).astype(x.dtype)
     return jax.vmap(one)(x, filt)

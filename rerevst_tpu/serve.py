@@ -256,8 +256,10 @@ def main(argv=None):
                     choices=["bf16", "f16", "f32"])
     ap.add_argument("--mix", default="none",
                     choices=["none", "out", "res2", "dec", "enc", "full", "body"],
-                    help="fp32-storage region (ModelConfig.fp32_mix); "
-                         "'enc' is the fast parity config")
+                    help="fp32-storage region (ModelConfig.fp32_mix).  For "
+                         "a fast parity-passing server use --dtype f16 "
+                         "(0.54e-3/pixel); 'enc'/'dec' alone FAIL the 1e-3 "
+                         "parity bar — see PERF.md")
     ap.add_argument("--no-global", action="store_true")
     ap.add_argument("--max-body-mb", type=int, default=DEFAULT_MAX_BODY_MB)
     ap.add_argument("--max-frames", type=int, default=DEFAULT_MAX_FRAMES)

@@ -41,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix", default="none",
                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                    help="with --dtype bf16: fp32-storage region "
-                        "(ModelConfig.fp32_mix); 'enc' is the fast parity "
-                        "config — see PERF.md")
+                        "(ModelConfig.fp32_mix).  For a fast parity-passing "
+                        "run use --dtype f16 (0.54e-3/pixel) — 'enc'/'dec' "
+                        "alone FAIL the 1e-3 parity bar; see PERF.md")
     p.add_argument("--ewarp", action="store_true",
                    help="also report the E_warp temporal-consistency metric "
                         "of the styled output (Farneback flow)")

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tvWeight", type=float, default=10.0)
     p.add_argument("--temporalWeight", type=float, default=60.0)
     p.add_argument("--ganWeight", type=float, default=1.0)
+    p.add_argument("--gan_mode", default="lsgan",
+                   choices=["lsgan", "vanilla", "wgangp"],
+                   help="GAN objective with --adaversarial_loss "
+                        "(train/other_networks.py:81-101; the reference "
+                        "driver hardcodes lsgan)")
     p.add_argument("--oldWeight", type=float, default=10.0)
 
     p.add_argument("--data_sigma", action="store_true")
@@ -103,6 +108,7 @@ def config_from_args(a) -> TrainConfig:
         tv_weight=a.tvWeight,
         temporal_weight=a.temporalWeight,
         gan_weight=a.ganWeight,
+        gan_mode=a.gan_mode,
         old_weight=a.oldWeight,
         data_sigma=a.data_sigma,
         data_w=a.data_w,

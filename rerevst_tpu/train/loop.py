@@ -91,13 +91,67 @@ class Validation:
         import cv2
 
         os.makedirs(self.out_dir, exist_ok=True)
+        cols = []
         for i, (c, s) in enumerate(self.pairs):
             out = self.net.validation(params, jnp.asarray(c), jnp.asarray(s))
-            row = np.concatenate(
+            # Per-pair result|content|style stack — the reference's
+            # ``Epoch[N]-validation-i`` images (``train/train.py:240-245``,
+            # torch.cat along dim=2 = vertical).
+            col = np.concatenate(
                 [model_to_bgr(np.asarray(out)), model_to_bgr(c),
                  model_to_bgr(s)], axis=0)
             cv2.imwrite(os.path.join(
-                self.out_dir, f"Epoch[{epoch}]-validation-{i}.png"), row)
+                self.out_dir, f"Epoch[{epoch}]-validation-{i}.png"), col)
+            cols.append(col)
+        # Plus one combined grid per epoch: all pairs side by side.
+        if cols:
+            cv2.imwrite(os.path.join(
+                self.out_dir, f"Epoch[{epoch}]-validation.png"),
+                np.concatenate(cols, axis=1))
+
+
+def _save_d_state(out_dir: str, d_state: TrainState, keep: int = 3) -> str:
+    """Step-tagged discriminator checkpoint: params + Adam state + step.
+
+    The reference reloads ``netD-epoch-N.pth`` under ``--continue_training``
+    (``train/train.py:281-284``) but never persists D's optimizer; here both
+    survive so a resumed adversarial run continues the GAN game instead of
+    restarting it.
+    """
+    from rerevst_tpu.io.checkpoint import save_params
+
+    step = int(d_state.step)
+    path = os.path.join(out_dir, f"netD-step{step:08d}.msgpack")
+    save_params(path, {"params": d_state.params,
+                       "opt_state": jax.tree.map(np.asarray, d_state.opt_state),
+                       "step": np.asarray(step)})
+    old = sorted(glob.glob(os.path.join(out_dir, "netD-step*.msgpack")))
+    for p in old[:-keep]:
+        os.remove(p)
+    return path
+
+
+def _restore_d_state(out_dir: str, d_params_template: Dict,
+                     d_opt_template) -> Optional[TrainState]:
+    """Newest netD-step* checkpoint (params + opt state + step), falling back
+    to a legacy params-only ``netD.msgpack`` (fresh optimizer) if present."""
+    from rerevst_tpu.io.checkpoint import load_params
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "netD-step*.msgpack")))
+    if paths:
+        like = {"params": d_params_template,
+                "opt_state": jax.tree.map(np.asarray, d_opt_template),
+                "step": np.asarray(0)}
+        blob = load_params(paths[-1], like)
+        opt_state = jax.tree.unflatten(jax.tree.structure(d_opt_template),
+                                       jax.tree.leaves(blob["opt_state"]))
+        return TrainState(blob["params"], opt_state,
+                          jnp.asarray(int(blob["step"]), jnp.int32))
+    legacy = os.path.join(out_dir, "netD.msgpack")
+    if os.path.exists(legacy):
+        params = load_params(legacy, d_params_template)
+        return TrainState(params, d_opt_template, jnp.zeros((), jnp.int32))
+    return None
 
 
 def _dump_diagnostics(params, content, style, key, cfg, epoch, extra):
@@ -213,6 +267,13 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                                                       d_params)
         d_state = TrainState(d_params, d_opt.init(d_params),
                              jnp.zeros((), jnp.int32))
+        if resume:
+            restored = _restore_d_state(cfg.out_dir, d_params,
+                                        d_state.opt_state)
+            if restored is not None:
+                d_state = restored
+                print(f"resumed discriminator @ step {int(d_state.step)}",
+                      flush=True)
 
         def step_fn(state, content, style, key, extra=None):
             nonlocal d_state
@@ -270,10 +331,7 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                         save_train_state(cfg.out_dir, it, state.params,
                                          state.opt_state)
                         if d_state is not None:
-                            from rerevst_tpu.io.checkpoint import save_params
-
-                            save_params(os.path.join(cfg.out_dir, "netD.msgpack"),
-                                        d_state.params)
+                            _save_d_state(cfg.out_dir, d_state)
                     cur_total = 0.0
                     if validation is not None:
                         validation.save_results(state.params, epoch)
@@ -286,8 +344,19 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
     finally:
         # A crash (loader death, device loss, SIGTERM-as-exception) at step
         # N-1 must not lose the run: always flush a step-tagged checkpoint
-        # for whatever progress exists before re-raising.
-        if it > int(start_step):
-            save_train_state(cfg.out_dir, it, state.params, state.opt_state)
-        logger.close()
+        # for whatever progress exists before re-raising.  The flush itself
+        # must never raise (a device loss makes fetching params fail) — that
+        # would mask the original exception and lose the real diagnostic.
+        try:
+            if it > int(start_step):
+                save_train_state(cfg.out_dir, it, state.params,
+                                 state.opt_state)
+                if d_state is not None:
+                    _save_d_state(cfg.out_dir, d_state)
+        except Exception as e:  # noqa: BLE001 — diagnostic-preserving
+            print(f"WARNING: crash-flush checkpoint failed: {e!r}", flush=True)
+        try:
+            logger.close()
+        except Exception:
+            pass
     return state

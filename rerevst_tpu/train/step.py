@@ -188,10 +188,18 @@ def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
                                 d_params_template: Dict):
     """D-then-G alternating update (``train/train.py:320-415``), one program.
 
-    D: 0.5 * (lsgan(D(stop_grad(styled)), fake) + lsgan(D(style), real)),
+    D: 0.5 * (gan(D(stop_grad(styled)), fake) + gan(D(style), real)),
     Adam(1e-4, betas=(0.5, 0.9)) (``train/train.py:287``).
-    G: the standard losses + gan_weight * lsgan(D(styled), real) with D's
-    params stopped.
+    G: the standard losses + gan_weight * gan(D(styled), real) with D's
+    params stopped.  The GAN objective is ``cfg.loss.gan_mode``
+    (lsgan/vanilla/wgangp, ``train/other_networks.py:81-101``).
+
+    The generator runs ONCE per step, like the reference (which computes the
+    styled frame once and ``.detach()``es it for D, ``train/train.py:324-369``):
+    we take a vjp through ``compute_losses``, reuse its primal `styled` for
+    the D update, and close the G backward by injecting the gan-loss
+    cotangent at `styled` — dL_G/dp = dL_base/dp + gan_weight * dL_gan/dp,
+    the same total gradient torch's retained graph produces.
     Returns (g_state, d_state, metrics) step fn over (g_state, d_state).
     """
     import optax as _optax
@@ -201,43 +209,51 @@ def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
 
     g_opt = make_optimizer(cfg, params_template)
     d_opt = _optax.adam(1e-4, b1=0.5, b2=0.9)
-    prec = precision_for(cfg.model.dtype, cfg.model.precision)
+    mode = cfg.loss.gan_mode
+    if mode not in ("lsgan", "vanilla", "wgangp"):
+        raise ValueError(f"unknown gan_mode {mode!r}")
 
     @jax.jit
     def train_step(g_state: TrainState, d_state: TrainState, content, style,
                    key):
-        # --- D update on detached generator output ---------------------
-        styled_ng = lax.stop_gradient(
-            decode(g_state.params["decoder"],
-                   vgg.encode(g_state.params["encoder"], content, prec),
-                   encode_style(g_state.params, style, cfg.model), cfg.model))
+        # --- one generator forward, vjp captured ------------------------
+        def base_fn(params):
+            total, (metrics, aux) = compute_losses(params, content, style,
+                                                   key, cfg)
+            return total, metrics, aux["styled"]
+
+        (total, metrics, styled), base_vjp = jax.vjp(base_fn, g_state.params)
+
+        # --- D update on the detached generator output ------------------
+        styled_ng = lax.stop_gradient(styled)
 
         def d_loss_fn(d_params):
             pred_fake = discriminator(d_params, styled_ng)
             pred_real = discriminator(d_params, style)
-            return 0.5 * (gan_loss(pred_fake, False) + gan_loss(pred_real, True))
+            return 0.5 * (gan_loss(pred_fake, False, mode)
+                          + gan_loss(pred_real, True, mode))
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
         d_updates, d_opt_state = d_opt.update(d_grads, d_state.opt_state,
                                               d_state.params)
         d_params = optax.apply_updates(d_state.params, d_updates)
 
-        # --- G update with the (frozen) updated D ----------------------
+        # --- G update with the (frozen) updated D -----------------------
         d_frozen = lax.stop_gradient(d_params)
 
-        def g_loss_fn(params):
-            total, (metrics, aux) = compute_losses(params, content, style,
-                                                   key, cfg)
-            pred_fake = discriminator(d_frozen, aux["styled"])
-            g_gan = gan_loss(pred_fake, True)
-            metrics["loss_G_GAN"] = g_gan
-            return total + g_gan * cfg.loss.gan_weight, metrics
+        def g_gan_fn(s):
+            return gan_loss(discriminator(d_frozen, s), True, mode)
 
-        (_, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            g_state.params)
+        g_gan, styled_cot = jax.value_and_grad(g_gan_fn)(styled)
+        zero_metrics = jax.tree.map(
+            lambda v: jnp.zeros_like(jnp.asarray(v)), metrics)
+        (g_grads,) = base_vjp((
+            jnp.ones_like(total), zero_metrics,
+            (styled_cot * cfg.loss.gan_weight).astype(styled.dtype)))
         g_updates, g_opt_state = g_opt.update(g_grads, g_state.opt_state,
                                               g_state.params)
         g_params = optax.apply_updates(g_state.params, g_updates)
+        metrics["loss_G_GAN"] = g_gan
         metrics["loss_d"] = d_loss
 
         return (TrainState(g_params, g_opt_state, g_state.step + 1),

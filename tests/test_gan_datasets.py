@@ -104,6 +104,123 @@ class TestDiscriminator:
             d_state.params, d_params)))
         assert changed
 
+    def _tiny_setup(self, rng, gan_mode="lsgan"):
+        from rerevst_tpu.config import LossConfig, ModelConfig, TrainConfig
+        from rerevst_tpu.models.transformer import init_transformer_params
+        from rerevst_tpu.train.state import TrainState, init_train_state
+
+        cfg = TrainConfig(model=ModelConfig(), loss=LossConfig(
+            flow_iter=1, adversarial_loss=True, gan_mode=gan_mode))
+        g_params = init_transformer_params(jax.random.PRNGKey(0), cfg.model,
+                                           with_loss_net=True)
+        d_params = init_discriminator_params(jax.random.PRNGKey(1))
+        g_state = init_train_state(g_params, cfg)
+        content = jnp.asarray(
+            rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.3)
+        style = jnp.asarray(
+            rng.standard_normal((1, 64, 64, 3)).astype(np.float32) * 0.3)
+        return cfg, g_params, d_params, g_state, content, style
+
+    @pytest.mark.parametrize("mode", ["vanilla", "wgangp"])
+    def test_adversarial_step_other_gan_modes(self, rng, mode):
+        """gan_mode is threaded through the step (the reference hardcodes
+        lsgan, train/train.py:287; GANLoss itself supports all three)."""
+        from rerevst_tpu.train.state import TrainState
+        from rerevst_tpu.train.step import make_adversarial_train_step
+
+        cfg, g_params, d_params, g_state, content, style = self._tiny_setup(
+            rng, gan_mode=mode)
+        step, d_opt = make_adversarial_train_step(cfg, g_params, d_params)
+        d_state = TrainState(d_params, d_opt.init(d_params),
+                             jnp.zeros((), jnp.int32))
+        g_state, d_state, metrics = step(g_state, d_state, content, style,
+                                         jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss_d"]))
+        assert np.isfinite(float(metrics["loss_G_GAN"]))
+
+    def test_single_forward_step_matches_explicit_formulation(self, rng):
+        """The vjp-based single-generator-forward step produces the SAME
+        updated G params as the explicit (recompute-the-forward) gradient
+        of total + w*gan(D_new(styled)) — the reference's retained-graph
+        semantics (train/train.py:324-415)."""
+        import optax
+
+        from rerevst_tpu.train.state import TrainState, make_optimizer
+        from rerevst_tpu.train.step import (
+            compute_losses,
+            make_adversarial_train_step,
+        )
+
+        cfg, g_params, d_params, g_state, content, style = self._tiny_setup(
+            rng)
+        key = jax.random.PRNGKey(2)
+        step, d_opt = make_adversarial_train_step(cfg, g_params, d_params)
+        d_state = TrainState(d_params, d_opt.init(d_params),
+                             jnp.zeros((), jnp.int32))
+        g2, d2, metrics = step(g_state, d_state, content, style, key)
+
+        # --- explicit two-forward reference computation -----------------
+        from rerevst_tpu.losses.gan import gan_loss
+        from rerevst_tpu.models.discriminator import discriminator
+
+        _, (_, aux0) = compute_losses(g_params, content, style, key, cfg)
+        styled0 = jax.lax.stop_gradient(aux0["styled"])
+
+        def d_loss_fn(dp):
+            return 0.5 * (gan_loss(discriminator(dp, styled0), False)
+                          + gan_loss(discriminator(dp, style), True))
+
+        d_grads = jax.grad(d_loss_fn)(d_params)
+        d_updates, _ = d_opt.update(d_grads, d_state.opt_state, d_params)
+        d_new = optax.apply_updates(d_params, d_updates)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(d2.params)[0]),
+            np.asarray(jax.tree.leaves(d_new)[0]), atol=1e-6)
+
+        def g_loss_fn(p):
+            total, (_, aux) = compute_losses(p, content, style, key, cfg)
+            g_gan = gan_loss(discriminator(d_new, aux["styled"]), True)
+            return total + g_gan * cfg.loss.gan_weight
+
+        g_grads_explicit = jax.grad(g_loss_fn)(g_params)
+
+        # The gradient identity itself: the step's cotangent-injection
+        # composition == grad of the explicit two-forward loss.
+        def base_fn(params):
+            total, (metrics, aux) = compute_losses(params, content, style,
+                                                   key, cfg)
+            return total, metrics, aux["styled"]
+
+        (total0, metrics0, styled_p), base_vjp = jax.vjp(base_fn, g_params)
+        _, styled_cot = jax.value_and_grad(
+            lambda s: gan_loss(discriminator(d_new, s), True))(styled_p)
+        zero_m = jax.tree.map(lambda v: jnp.zeros_like(jnp.asarray(v)),
+                              metrics0)
+        (g_grads_vjp,) = base_vjp(
+            (jnp.ones_like(total0), zero_m,
+             (styled_cot * cfg.loss.gan_weight).astype(styled_p.dtype)))
+        for got, want in zip(jax.tree.leaves(g_grads_vjp),
+                             jax.tree.leaves(g_grads_explicit)):
+            g, w = np.asarray(got), np.asarray(want)
+            scale = max(np.abs(w).max(), 1e-3)
+            np.testing.assert_allclose(g / scale, w / scale, atol=1e-5)
+
+        # And the step's applied update stays consistent: Adam's rsqrt on
+        # near-zero second moments amplifies fp noise, so bound the param
+        # delta by the Adam step size instead of demanding bitwise agreement.
+        g_opt = make_optimizer(cfg, g_params)
+        g_updates, _ = g_opt.update(g_grads_explicit, g_state.opt_state,
+                                    g_params)
+        g_expected = optax.apply_updates(g_params, g_updates)
+        tot, cnt, mx = 0.0, 0, 0.0
+        for got, want in zip(jax.tree.leaves(g2.params),
+                             jax.tree.leaves(g_expected)):
+            diff = np.abs(np.asarray(got) - np.asarray(want))
+            tot, cnt, mx = tot + diff.sum(), cnt + diff.size, \
+                max(mx, diff.max())
+        assert mx <= 2.5 * cfg.lr, mx
+        assert tot / cnt <= 0.05 * cfg.lr, tot / cnt
+
 
 class TestDatasets:
     @pytest.fixture()

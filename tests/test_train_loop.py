@@ -113,4 +113,55 @@ def test_adversarial_loop_trains_discriminator(tiny_world):
     rec = json.loads(lines[-1])
     assert "loss_d" in rec and np.isfinite(rec["loss_d"])
     assert "loss_G_GAN" in rec and np.isfinite(rec["loss_G_GAN"])
-    assert os.path.exists(os.path.join(cfg.out_dir, "netD.msgpack")) or True
+    # Step-tagged D checkpoint (params + optimizer) written at the log point.
+    assert glob.glob(os.path.join(cfg.out_dir, "netD-step*.msgpack"))
+
+
+def test_gan_resume_restores_discriminator(tiny_world):
+    """train -> kill -> resume continues D (params, Adam state, step counter)
+    instead of re-initializing the GAN game (the reference reloads
+    netD-epoch-N.pth, train/train.py:281-284 — but drops D's optimizer)."""
+    import dataclasses
+
+    from flax import serialization
+
+    from rerevst_tpu.train.loop import train
+
+    cfg = _cfg(tiny_world)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, adversarial_loss=True))
+    train(cfg, max_steps=2)
+    d_cks = sorted(glob.glob(os.path.join(cfg.out_dir, "netD-step*.msgpack")))
+    assert d_cks, "no discriminator checkpoint written"
+    blob = serialization.msgpack_restore(open(d_cks[-1], "rb").read())
+    saved_step = int(blob["step"])
+    assert saved_step == 2
+    # Adam state persisted and non-trivial (mu != 0 after 2 steps).
+    opt_leaves = [np.asarray(v) for v in
+                  __import__("jax").tree.leaves(blob["opt_state"])
+                  if np.asarray(v).ndim > 0]
+    assert any(np.abs(leaf).max() > 0 for leaf in opt_leaves)
+
+    train(cfg, max_steps=1, resume=True)
+    d_cks2 = sorted(glob.glob(os.path.join(cfg.out_dir, "netD-step*.msgpack")))
+    blob2 = serialization.msgpack_restore(open(d_cks2[-1], "rb").read())
+    # Continuity: the new D checkpoint's step counter CONTINUES from the
+    # restored one (a re-initialized D would restart at step 1).
+    assert int(blob2["step"]) == saved_step + 1
+
+
+def test_validation_writes_combined_grid(tiny_world):
+    from rerevst_tpu.train.loop import train
+
+    cfg = _cfg(tiny_world)
+    train(cfg, max_steps=2)
+    # One combined grid image per epoch in addition to the reference's
+    # per-pair Epoch[N]-validation-i files.
+    grids = [p for p in glob.glob(
+        os.path.join(cfg.out_dir, "Epoch*-validation.png"))]
+    assert grids
+    cv2 = pytest.importorskip("cv2")
+    img = cv2.imread(grids[0])
+    n_pairs = len(glob.glob(os.path.join(cfg.val_dir, "content", "*.jpg")))
+    # result|content|style stacked vertically, pairs side by side.
+    assert img.shape[1] == img.shape[0] // 3 * n_pairs
