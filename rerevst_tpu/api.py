@@ -14,7 +14,7 @@ after the first frame exactly like the reference's ReshapeTool
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterable, Iterator, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,42 @@ from rerevst_tpu.models.transformer import (
     encode_style,
 )
 from rerevst_tpu.ops.image import crop_back, pad_reflect_multiple, padded_size
+
+
+class _FeatureSpill:
+    """Appendable host spool for Pass-1 features: raw float32 chunks stream
+    to a temp file and come back as one memmap for streaming collection —
+    the working replacement for the reference's broken per-frame
+    ``cache/%d.pt`` spill (``test/style_network.py:540-574``)."""
+
+    def __init__(self):
+        import tempfile
+
+        self._f = tempfile.NamedTemporaryFile(
+            prefix="rerevst_pass1_", suffix=".f32", delete=False)
+        self._shape = None
+        self.n = 0
+
+    def append(self, feats: np.ndarray) -> None:
+        a = np.ascontiguousarray(feats, np.float32)
+        if self._shape is None:
+            self._shape = a.shape[1:]
+        self._f.write(a.tobytes())
+        self.n += a.shape[0]
+
+    def memmap(self) -> np.memmap:
+        self._f.flush()
+        return np.memmap(self._f.name, np.float32, "r",
+                         shape=(self.n,) + self._shape)
+
+    def close(self) -> None:
+        import os
+
+        try:
+            self._f.close()
+            os.unlink(self._f.name)
+        except OSError:
+            pass
 
 
 class Stylization:
@@ -78,6 +114,9 @@ class Stylization:
         self.stats: Optional[SeqStats] = None
         self._patches: List[jnp.ndarray] = []
         self._pad_hw = None
+        #: How the last Pass 1 collected its statistics:
+        #: 'batched' | 'streaming-spill' | 'streaming' | 'sharded'.
+        self.pass1_mode: Optional[str] = None
 
         cfg_ = self.cfg
         self._encode_style = jax.jit(
@@ -155,6 +194,7 @@ class Stylization:
             feats = jnp.concatenate(self._patches, axis=0)
             from rerevst_tpu.parallel import collect_stats_sharded
 
+            self.pass1_mode = "sharded"
             self.stats = collect_stats_sharded(
                 self.params["decoder"], feats, self.style, self.cfg, self.mesh)
         elif n > self.STREAMING_THRESHOLD:
@@ -162,11 +202,13 @@ class Stylization:
 
             feats_host = np.concatenate(
                 [np.asarray(p, np.float32) for p in self._patches], axis=0)
+            self.pass1_mode = "streaming"
             self.stats = collect_stats_streaming(
                 self.params["decoder"], feats_host, self.style, self.cfg,
                 chunk_size=8)
         else:
             feats = jnp.concatenate(self._patches, axis=0)
+            self.pass1_mode = "batched"
             self.stats = self._collect(self.params, feats, self.style)
         self._patches = []
 
@@ -201,46 +243,124 @@ class Stylization:
             raise RuntimeError("prepare_style first")
         return self._stylize_frame(self.params, x, self.style)
 
-    def prepare_global(self, frames_bgr: Sequence[np.ndarray]) -> None:
-        """Pass 1 in one shot over pre-sampled RAW frames (batched
-        add+compute; no padding — see ``add``)."""
-        self.clean()
-        batch = jnp.concatenate(
-            [jnp.asarray(bgr_to_model(f)) for f in frames_bgr], axis=0)
-        self._patches = [self._encode_content(self.params, batch)]
-        self.compute()
+    def prepare_global(self, frames_bgr: Iterable[np.ndarray],
+                       total: Optional[int] = None) -> None:
+        """Pass 1 over pre-sampled RAW frames (no padding — see ``add``).
 
-    def stylize_video(self, frames_bgr: Sequence[np.ndarray],
+        Constant-memory in sample count: frames are encoded
+        ``infer.pass1_chunk`` at a time; above ``STREAMING_THRESHOLD`` the
+        features spill to a host temp file and the streaming collector
+        freezes the statistics with O(chunk) device memory.  Any iterable
+        works (a ``FrameSource.read_indices`` stream included); `total`
+        is only needed to pick the fast batched path for unsized iterators.
+        """
+        self.clean()
+        if total is None and hasattr(frames_bgr, "__len__"):
+            total = len(frames_bgr)
+        chunk_n = max(1, self.infer.pass1_chunk)
+        # Small sample sets keep features on device and use the one-pass
+        # batched (or mesh-sharded) collection; big/unknown ones spill.
+        on_device = total is not None and total <= self.STREAMING_THRESHOLD
+        spill = None if on_device else _FeatureSpill()
+        feats_dev: List[jnp.ndarray] = []
+        buf: List[np.ndarray] = []
+        try:
+
+            def flush():
+                if not buf:
+                    return
+                x = jnp.concatenate(
+                    [jnp.asarray(bgr_to_model(f)) for f in buf], axis=0)
+                enc = self._encode_content(self.params, x)
+                if on_device:
+                    feats_dev.append(enc)
+                else:
+                    spill.append(np.asarray(enc, np.float32))
+                buf.clear()
+
+            for f in frames_bgr:
+                buf.append(f)
+                if len(buf) == chunk_n:
+                    flush()
+            flush()
+
+            if on_device and not feats_dev:
+                raise ValueError("prepare_global got no frames")
+            if on_device:
+                feats = (feats_dev[0] if len(feats_dev) == 1
+                         else jnp.concatenate(feats_dev, axis=0))
+            else:
+                feats = spill.memmap()
+            if self.mesh is not None:
+                from rerevst_tpu.parallel import collect_stats_sharded
+
+                self.pass1_mode = "sharded"
+                self.stats = collect_stats_sharded(
+                    self.params["decoder"], jnp.asarray(feats), self.style,
+                    self.cfg, self.mesh)
+            elif on_device:
+                self.pass1_mode = "batched"
+                self.stats = self._collect(self.params, feats, self.style)
+            else:
+                from rerevst_tpu.parallel.streaming import (
+                    collect_stats_streaming,
+                )
+
+                self.pass1_mode = "streaming-spill"
+                self.stats = collect_stats_streaming(
+                    self.params["decoder"], feats, self.style, self.cfg,
+                    chunk_size=chunk_n)
+        finally:
+            if spill is not None:
+                spill.close()
+
+    def stylize_video(self, frames_bgr: Union[Sequence[np.ndarray], "object"],
                       batch_size: Optional[int] = None) -> Iterator[np.ndarray]:
-        """Full pipeline over a frame list: Pass 1 sampling + batched Pass 2.
+        """Full pipeline over a clip: Pass 1 sampling + batched Pass 2.
+
+        `frames_bgr` is anything ``data.source.as_source`` accepts — a
+        ``FrameSource``, a frame-glob / video-file path, or an in-memory
+        sequence.  Memory is constant in clip length: Pass 1 reads only the
+        sampled frames (one at a time), Pass 2 streams `batch_size`-frame
+        chunks disk -> device -> caller, at most two chunks in flight.
 
         Sampling follows the reference: every `interval`-th frame plus the
         last (``test/generate_real_video.py:129-148``).
         """
-        n = len(frames_bgr)
+        from rerevst_tpu.data.source import as_source
+
+        src = as_source(frames_bgr)
+        n = len(src)
         bs = batch_size or self.infer.batch_size
         if self.use_global:
             # Reference sampling: (n-1)//interval frames at multiples of the
             # interval, plus the last (``test/generate_real_video.py:133-143``).
             interval = self.infer.sample_interval
             sample_sum = (n - 1) // interval
-            idx = [s * interval for s in range(sample_sum)]
-            sampled = [frames_bgr[i] for i in idx] + [frames_bgr[-1]]
-            self.prepare_global(sampled)
+            idx = [s * interval for s in range(sample_sum)] + [n - 1]
+            self.prepare_global(src.read_indices(idx), total=len(idx))
 
-        h, w = frames_bgr[0].shape[:2]
-        chunks = [frames_bgr[s : s + bs] for s in range(0, n, bs)]
+        frames_it = iter(src)
 
-        def _prep_chunk(chunk):
-            # Runs on the prefetch thread: host decode/normalize/pad plus the
-            # H2D upload, overlapped with the device computing the previous
-            # batch (transfers through the tunnel are the slow part here).
+        def _next_chunk():
+            # Runs on the prefetch thread: frame decode, host
+            # normalize/pad, and the H2D upload all overlap with the device
+            # computing the previous batch (transfers through the tunnel
+            # are the slow part here).  Single worker => the source
+            # iterator is only ever touched from one thread.
+            chunk = []
+            for f in frames_it:
+                chunk.append(f)
+                if len(chunk) == bs:
+                    break
+            if not chunk:
+                return None
             x = jnp.concatenate([self._prep(f) for f in chunk], axis=0)
             if x.shape[0] < bs and n > bs:
                 # Keep the jitted shape stable on the ragged tail.
                 reps = bs - x.shape[0]
                 x = jnp.concatenate([x, jnp.repeat(x[-1:], reps, 0)], axis=0)
-            return x
+            return x, len(chunk)
 
         def _drain(pending):
             out_dev, count = pending
@@ -248,19 +368,23 @@ class Stylization:
             for i in range(count):     # busy with the next batch.
                 yield model_to_bgr(out[i : i + 1])
 
-        # Double-buffered pipeline: while batch k computes, the worker preps
+        # Double-buffered pipeline: while batch k computes, the worker reads
         # and uploads batch k+1 and the main thread fetches batch k-1.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=1) as ex:
-            nxt = ex.submit(_prep_chunk, chunks[0])
+            nxt = ex.submit(_next_chunk)
             pending = None  # (device result, frames in it)
-            for k, chunk in enumerate(chunks):
-                x = nxt.result()
-                if k + 1 < len(chunks):
-                    nxt = ex.submit(_prep_chunk, chunks[k + 1])
+            while True:
+                got = nxt.result()
+                if got is None:
+                    break
+                x, count = got
+                nxt = ex.submit(_next_chunk)
+                h, w = self._orig_hw
                 out_dev = crop_back(self._stylize(x), h, w, self.infer.pad)
                 if pending is not None:
                     yield from _drain(pending)
-                pending = (out_dev, len(chunk))
-            yield from _drain(pending)
+                pending = (out_dev, count)
+            if pending is not None:
+                yield from _drain(pending)

@@ -100,6 +100,11 @@ class InferenceConfig:
     batch_size: int = 1
     #: Output video fps (``generate_real_video.py:39``).
     fps: int = 24
+    #: Pass-1 encode chunk: sampled frames are encoded this many at a time,
+    #: so device memory in the global pass is bounded regardless of clip
+    #: length (the reference materializes the whole sampled batch,
+    #: ``test/style_network_global.py:477-478``).
+    pass1_chunk: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

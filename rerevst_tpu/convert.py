@@ -6,11 +6,98 @@
 Covers the released-checkpoint schema (``test/framework.py:74-78``) in both
 directions, including legacy variants with extra keys (ignored on import,
 mirroring the reference's 3-stage fallback loader, ``train/train.py:124-146``).
+
+Full TRAIN-state interop (G + D + Adam moments, the reference's per-log
+checkpoint trio ``train/train.py:446-457``):
+
+    # native ckpt-stepN.msgpack (+ netD-stepN.msgpack) -> style_net-epoch-N
+    # .pth + optimizer-epoch-N.pth + netD-epoch-N.pth (torch resumes drop-in)
+    python -m rerevst_tpu.convert --train-export out/ckpt-step00000042.msgpack torch_out/
+
+    # reference trio -> native ckpt-stepN.msgpack + netD-stepN.msgpack
+    python -m rerevst_tpu.convert --train-import style_net-epoch-1.pth native_out/ \
+        --optimizer optimizer-epoch-1.pth --netd netD-epoch-1.pth
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def _train_export(args):
+    import glob
+    import os
+    import re
+
+    import jax
+
+    from rerevst_tpu.config import TrainConfig
+    from rerevst_tpu.io.checkpoint import load_params, restore_train_state
+    from rerevst_tpu.io.torch_compat import export_train_checkpoint
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.train.state import init_train_state
+
+    # Restoring through a typed template rebuilds the optax NamedTuple
+    # structure (raw msgpack restore loses it).  Assumes the paper-recipe
+    # (default) architecture, like the reference trio it mirrors.
+    cfg = TrainConfig(lr=args.lr)
+    template = init_transformer_params(jax.random.PRNGKey(cfg.seed),
+                                       cfg.model, with_loss_net=True)
+    state0 = init_train_state(template, cfg)
+    params, opt_state = restore_train_state(args.src, template,
+                                            state0.opt_state)
+    m = re.search(r"step(\d+)", os.path.basename(args.src))
+    epoch = args.epoch if args.epoch is not None else (
+        int(m.group(1)) if m else 0)
+    d_params = None
+    netd = args.netd
+    if netd is None:
+        cands = sorted(glob.glob(os.path.join(
+            os.path.dirname(args.src) or ".", "netD-step*.msgpack")))
+        netd = cands[-1] if cands else None
+    if netd is not None:
+        d_blob = load_params(netd)
+        d_params = d_blob.get("params", d_blob)
+    out = export_train_checkpoint(args.dst, epoch, params,
+                                  opt_state=opt_state,
+                                  d_params=d_params, lr=args.lr)
+    print(f"exported train state -> {sorted(out.values())}")
+
+
+def _train_import(args):
+    import jax
+
+    from rerevst_tpu.config import TrainConfig
+    from rerevst_tpu.io.checkpoint import save_params, save_train_state
+    from rerevst_tpu.io.torch_compat import import_train_checkpoint
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.train.state import init_train_state
+
+    cfg = TrainConfig(lr=args.lr)
+    template = init_transformer_params(jax.random.PRNGKey(cfg.seed),
+                                       cfg.model, with_loss_net=True)
+    state0 = init_train_state(template, cfg)
+    params, opt_state, step, d_params = import_train_checkpoint(
+        args.src, template, state0.opt_state,
+        optimizer_pth=args.optimizer, netd_pth=args.netd)
+    path = save_train_state(args.dst, step, params, opt_state)
+    wrote = [path]
+    if d_params is not None:
+        import os
+
+        import numpy as np
+        import optax
+
+        # Fresh D Adam state: the reference never persists D's optimizer
+        # (train/train.py:281-287), so there is nothing to import.
+        d_opt_state = jax.tree.map(
+            np.asarray, optax.adam(1e-4, b1=0.5, b2=0.9).init(
+                jax.tree.map(np.asarray, d_params)))
+        dpath = os.path.join(args.dst, f"netD-step{step:08d}.msgpack")
+        save_params(dpath, {"params": d_params, "opt_state": d_opt_state,
+                            "step": np.asarray(step)})
+        wrote.append(dpath)
+    print(f"imported train state @ step {step} -> {wrote}")
 
 
 def main(argv=None):
@@ -19,10 +106,31 @@ def main(argv=None):
     enable_compile_cache()
     ap = argparse.ArgumentParser("rerevst_tpu.convert")
     ap.add_argument("src", help=".pth or .msgpack checkpoint")
-    ap.add_argument("dst", help="output path (.msgpack or .pth)")
+    ap.add_argument("dst", help="output path (.msgpack or .pth), or a "
+                               "directory for --train-export/--train-import")
     ap.add_argument("--no-loss-net", action="store_true",
                     help="drop the frozen Vgg19 loss net (inference-only)")
+    ap.add_argument("--train-export", action="store_true",
+                    help="src = native ckpt-stepN.msgpack: write the "
+                         "reference training trio (style_net/optimizer/netD "
+                         "-epoch-N.pth) into dst/")
+    ap.add_argument("--train-import", action="store_true",
+                    help="src = reference style_net-epoch-N.pth: write a "
+                         "native train-state checkpoint into dst/")
+    ap.add_argument("--optimizer", default=None,
+                    help="with --train-import: optimizer-epoch-N.pth")
+    ap.add_argument("--netd", default=None,
+                    help="discriminator checkpoint (either direction)")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="with --train-export: epoch tag for the filenames "
+                         "(default: the native checkpoint's step)")
+    ap.add_argument("--lr", type=float, default=1e-4)
     args = ap.parse_args(argv)
+
+    if args.train_export:
+        return _train_export(args)
+    if args.train_import:
+        return _train_import(args)
 
     from rerevst_tpu.io.checkpoint import load_params, save_params
     from rerevst_tpu.io.torch_compat import (

@@ -50,26 +50,36 @@ def is_video_file(path: str) -> bool:
             and os.path.isfile(path))
 
 
-def read_video(path: str, max_frames: int = 0) -> List[np.ndarray]:
-    """Decode a video file into BGR uint8 frames (all of them by default)."""
+def iter_video(path: str, max_frames: int = 0) -> Iterator[np.ndarray]:
+    """Stream BGR uint8 frames from a video file — one decoded frame in
+    memory at a time (the container analog of the frame-glob lazy reader)."""
     cv2 = _cv2()
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video {path!r}")
-    frames: List[np.ndarray] = []
+    n = 0
     try:
         while True:
             ok, frame = cap.read()
             if not ok:
                 break
-            frames.append(frame)
-            if max_frames and len(frames) >= max_frames:
+            yield frame
+            n += 1
+            if max_frames and n >= max_frames:
                 break
     finally:
         cap.release()
-    if not frames:
+    if n == 0:
         raise ValueError(f"no decodable frames in {path!r}")
-    return frames
+
+
+def read_video(path: str, max_frames: int = 0) -> List[np.ndarray]:
+    """Decode a video file into BGR uint8 frames (all of them by default).
+
+    Materializes the whole clip — for long videos prefer ``iter_video`` or
+    ``rerevst_tpu.data.source.VideoSource``.
+    """
+    return list(iter_video(path, max_frames))
 
 
 def write_frame(path: str, img_bgr: np.ndarray) -> None:
@@ -77,20 +87,40 @@ def write_frame(path: str, img_bgr: np.ndarray) -> None:
     _cv2().imwrite(path, img_bgr)
 
 
+class VideoWriter:
+    """Incremental video writer (opens on first frame, so streaming
+    pipelines write as they go instead of buffering the clip)."""
+
+    def __init__(self, path: str, fps: int = 24, codec: str = "MJPG"):
+        self.path, self.fps, self.codec = path, fps, codec
+        self._writer = None
+
+    def write(self, frame_bgr: np.ndarray) -> None:
+        cv2 = _cv2()
+        if self._writer is None:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            fourcc = cv2.VideoWriter_fourcc(*self.codec)
+            self._writer = cv2.VideoWriter(
+                self.path, fourcc, self.fps,
+                (frame_bgr.shape[1], frame_bgr.shape[0]))
+        self._writer.write(frame_bgr)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_video(path: str, frames_bgr, fps: int = 24,
                 codec: str = "MJPG") -> None:
     """Write BGR uint8 frames to a video file (MJPG .avi @ 24fps default,
     matching ``test/generate_real_video.py:180-182``)."""
-    cv2 = _cv2()
-    it = iter(frames_bgr)
-    first = next(it)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fourcc = cv2.VideoWriter_fourcc(*codec)
-    writer = cv2.VideoWriter(path, fourcc, fps,
-                             (first.shape[1], first.shape[0]))
-    try:
-        writer.write(first)
-        for f in it:
-            writer.write(f)
-    finally:
-        writer.release()
+    with VideoWriter(path, fps=fps, codec=codec) as w:
+        for f in frames_bgr:
+            w.write(f)

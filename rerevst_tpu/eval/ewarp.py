@@ -56,6 +56,42 @@ def occlusion_mask(prev_bgr, cur_bgr, flow, thresh: float = 20.0) -> np.ndarray:
     return (support & (err < thresh)).astype(np.float32)
 
 
+class EwarpAccumulator:
+    """Streaming E_warp: push (original, styled) pairs as they come; only
+    the previous pair stays in memory — pairs with the batch ``ewarp``
+    below (identical math, verified in tests)."""
+
+    def __init__(self):
+        self._prev = None  # (original, styled)
+        self._total = self._control = self._weight = 0.0
+        self.pairs = 0
+
+    def push(self, original: np.ndarray, styled: np.ndarray) -> None:
+        if self._prev is not None:
+            prev_o, prev_s = self._prev
+            flow = farneback_flow(prev_o, original)
+            mask = occlusion_mask(prev_o, original, flow)
+            m = mask[..., None]
+            w = float(mask.sum()) * 3
+            if w > 0:
+                warped = backward_warp(prev_s.astype(np.float32), flow)
+                self._total += float(
+                    (np.abs(warped - styled.astype(np.float32)) * m).sum())
+                warped_o = backward_warp(prev_o.astype(np.float32), flow)
+                self._control += float(
+                    (np.abs(warped_o - original.astype(np.float32)) * m).sum())
+                self._weight += w
+            self.pairs += 1
+        self._prev = (original, styled)
+
+    def result(self) -> Dict[str, float]:
+        return {
+            "ewarp": self._total / max(self._weight, 1.0),
+            "ewarp_control": self._control / max(self._weight, 1.0),
+            "pairs": self.pairs,
+        }
+
+
 def ewarp(styled: Sequence[np.ndarray], originals: Sequence[np.ndarray],
           flows: Optional[Sequence[np.ndarray]] = None,
           masks: Optional[Sequence[np.ndarray]] = None) -> Dict[str, float]:

@@ -216,6 +216,262 @@ def graft_pretrained_state_dict(state_dict: Dict, template: Dict,
     return _graft(template, partial), stage
 
 
+# --- Full train-state interop (G + D + optimizer) ---------------------------
+#
+# The reference saves a training-checkpoint trio every best-loss log point
+# (``train/train.py:446-457``): ``optimizer-epoch-N.pth`` (torch Adam
+# state_dict), ``style_net-latest-epoch-1(...).pth`` (G weights; epoch
+# hardcoded to 1 in the name, §2.4), and ``netD-epoch-N.pth``; resume globs
+# ``style_net-epoch-N*.pth`` + reloads netD (``train/train.py:148-153,
+# 281-284``) and never actually reloads the optimizer file.  The exporters
+# below write that trio under the resume-globbable names so a torch run can
+# pick our training up drop-in; the importer takes the trio (optimizer
+# included) back into a native TrainState.
+
+
+def reference_trainable_param_order():
+    """The reference training net's trainable-parameter registration order
+    (``named_parameters()`` with ``requires_grad`` — Decoder, Encoder,
+    EncoderStyle; Vgg19 is construction-frozen,
+    ``train/style_networks.py:300-302``).  This is the index order of
+    ``optim.Adam(filter(requires_grad, style_net.parameters()))``
+    (``train/train.py:175``), verified against the live oracle in tests.
+    """
+    names = []
+    for s in ("slice4", "slice3", "slice2"):
+        names += [f"Decoder.{s}.conv1.weight", f"Decoder.{s}.conv1.bias",
+                  f"Decoder.{s}.conv2.weight", f"Decoder.{s}.conv2.bias",
+                  f"Decoder.{s}.conv_shortcut.weight"]
+    names += ["Decoder.slice1.weight", "Decoder.slice1.bias"]
+    for i in (1, 2, 3):
+        p = f"Decoder.Filter{i}"
+        names += [f"{p}.down_sample.0.weight", f"{p}.down_sample.0.bias",
+                  f"{p}.upsample.0.weight", f"{p}.upsample.0.bias"]
+        for F in ("F1", "F2"):
+            names += [f"{p}.{F}.down_sample.0.weight",
+                      f"{p}.{F}.down_sample.0.bias",
+                      f"{p}.{F}.FC.weight", f"{p}.{F}.FC.bias"]
+    for idx in (0, 2, 5, 7, 10, 12, 14, 16, 19):
+        names += [f"Encoder.slice.{idx}.weight", f"Encoder.slice.{idx}.bias"]
+    for slc, idx in (("slice1", 0), ("slice2", 2), ("slice2", 5),
+                     ("slice3", 7), ("slice3", 10), ("slice4", 12),
+                     ("slice4", 14), ("slice4", 16), ("slice4", 19)):
+        names += [f"EncoderStyle.{slc}.{idx}.weight",
+                  f"EncoderStyle.{slc}.{idx}.bias"]
+    return names
+
+
+def _find_adam_state(opt_state):
+    """Locate the (single) ScaleByAdamState inside an optax state tree."""
+    import optax
+
+    found = []
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+        elif hasattr(s, "_fields"):
+            for f in s._fields:
+                walk(getattr(s, f))
+        elif isinstance(s, (list, tuple)):
+            for x in s:
+                walk(x)
+        elif isinstance(s, dict):
+            for x in s.values():
+                walk(x)
+
+    walk(opt_state)
+    if len(found) != 1:
+        raise ValueError(
+            f"expected exactly one Adam state in the optimizer tree, "
+            f"found {len(found)}")
+    return found[0]
+
+
+_TRAINABLE_SUBTREES = ("decoder", "encoder", "encoder_style")
+
+
+def adam_state_to_torch(opt_state, lr: float = 1e-4) -> Dict:
+    """Our optax Adam moments -> a torch ``optim.Adam.state_dict()`` blob,
+    param indices in the reference's trainable order."""
+    import optax
+
+    adam = _find_adam_state(opt_state)
+    step = int(np.asarray(adam.count))
+    order = reference_trainable_param_order()
+    mom_sd = {}
+    for which, tree in (("exp_avg", adam.mu), ("exp_avg_sq", adam.nu)):
+        sub = {k: tree[k] for k in _TRAINABLE_SUBTREES if k in tree}
+        if any(isinstance(v, optax.MaskedNode) for v in sub.values()):
+            raise ValueError(
+                "optimizer state has frozen encoder subtrees "
+                "(train_only_decoder?) — the reference Adam covers "
+                "Decoder+Encoder+EncoderStyle, cannot export")
+        mom_sd[which] = to_reference_state_dict(sub)
+    import torch
+
+    state = {}
+    for i, name in enumerate(order):
+        state[i] = {
+            "step": torch.tensor(float(step)),
+            "exp_avg": torch.from_numpy(
+                np.ascontiguousarray(mom_sd["exp_avg"][name])),
+            "exp_avg_sq": torch.from_numpy(
+                np.ascontiguousarray(mom_sd["exp_avg_sq"][name])),
+        }
+    group = {"lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+             "weight_decay": 0, "amsgrad": False, "maximize": False,
+             "foreach": None, "capturable": False, "differentiable": False,
+             "fused": None, "params": list(range(len(order)))}
+    return {"state": state, "param_groups": [group]}
+
+
+def adam_state_from_torch(torch_sd: Dict, opt_state, params: Dict):
+    """Inverse of ``adam_state_to_torch``: inject a torch Adam state_dict's
+    moments into a freshly-initialised optax state (template `opt_state`)."""
+    import optax
+
+    order = reference_trainable_param_order()
+    state = torch_sd["state"]
+    # torch keys may be int or str depending on the pickler.
+    get = lambda i: state[i] if i in state else state[str(i)]  # noqa: E731
+    mu_sd = {order[i]: _np(get(i)["exp_avg"]) for i in range(len(order))}
+    nu_sd = {order[i]: _np(get(i)["exp_avg_sq"]) for i in range(len(order))}
+    count = int(float(_np(get(0)["step"])))
+    mu_part = from_reference_state_dict(mu_sd)
+    nu_part = from_reference_state_dict(nu_sd)
+
+    def merge(old, new):
+        if isinstance(old, dict):
+            part = new if isinstance(new, dict) else {}
+            return {k: merge(v, part.get(k)) for k, v in old.items()}
+        if new is None:
+            return old  # frozen subtree (MaskedNode / untouched zeros)
+        return np.asarray(new, dtype=np.asarray(old).dtype) \
+            if not isinstance(old, optax.MaskedNode) else old
+
+    def rebuild(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=np.asarray(count, np.int32),
+                mu=merge(s.mu, mu_part), nu=merge(s.nu, nu_part))
+        if hasattr(s, "_fields"):
+            return type(s)(*[rebuild(getattr(s, f)) for f in s._fields])
+        if isinstance(s, tuple):
+            return tuple(rebuild(x) for x in s)
+        if isinstance(s, dict):
+            return {k: rebuild(v) for k, v in s.items()}
+        return s
+
+    return rebuild(opt_state), count
+
+
+def discriminator_to_torch_state(params: Dict) -> Dict[str, np.ndarray]:
+    """Our PatchGAN params -> the reference ``NLayerDiscriminator``
+    state_dict (Sequential indices: conv@0, (conv,bn)@(2,3),(5,6), final
+    stride-1 (conv,bn)@(8,9), out conv@11 — ``train/other_networks.py:300-
+    344``).  BatchNorm running stats are emitted as identity (the reference
+    trains D in train mode, batch statistics)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(idx, p):
+        sd[f"model.{idx}.weight"] = np.transpose(np.asarray(p["w"]),
+                                                 (3, 2, 0, 1))
+        if "b" in p:
+            sd[f"model.{idx}.bias"] = np.asarray(p["b"])
+
+    def put_bn(idx, p):
+        c = np.asarray(p["scale"]).shape[0]
+        sd[f"model.{idx}.weight"] = np.asarray(p["scale"])
+        sd[f"model.{idx}.bias"] = np.asarray(p["bias"])
+        sd[f"model.{idx}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"model.{idx}.running_var"] = np.ones(c, np.float32)
+        sd[f"model.{idx}.num_batches_tracked"] = np.asarray(0)
+
+    put_conv(0, params["conv0"])
+    put_conv(2, params["conv1"])
+    put_bn(3, params["bn1"])
+    put_conv(5, params["conv2"])
+    put_bn(6, params["bn2"])
+    put_conv(8, params["conv3"])
+    put_bn(9, params["bn3"])
+    put_conv(11, params["conv_out"])
+    return sd
+
+
+def discriminator_from_torch_state(state_dict: Dict,
+                                   dtype=np.float32) -> Dict:
+    """Reference ``netD-epoch-N.pth`` -> our PatchGAN params (running stats
+    dropped: train-mode BatchNorm uses batch statistics)."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def conv(idx):
+        return from_torch_conv(sd[f"model.{idx}.weight"],
+                               sd.get(f"model.{idx}.bias"), dtype)
+
+    def bn(idx):
+        return {"scale": sd[f"model.{idx}.weight"].astype(dtype),
+                "bias": sd[f"model.{idx}.bias"].astype(dtype)}
+
+    return {"conv0": conv(0), "conv1": conv(2), "bn1": bn(3),
+            "conv2": conv(5), "bn2": bn(6), "conv3": conv(8), "bn3": bn(9),
+            "conv_out": conv(11)}
+
+
+def export_train_checkpoint(out_dir: str, epoch: int, params: Dict,
+                            opt_state=None, d_params: Dict = None,
+                            lr: float = 1e-4) -> Dict[str, str]:
+    """Write the reference's training-checkpoint trio so a torch run resumes
+    our training drop-in: ``style_net-epoch-{N}.pth`` (matches the resume
+    glob ``train/train.py:148-153``), ``optimizer-epoch-{N}.pth``, and
+    ``netD-epoch-{N}.pth``.  Returns {artifact: path}."""
+    import os
+
+    import torch
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+
+    def save(name, blob):
+        path = os.path.join(out_dir, name)
+        torch.save(blob, path)
+        out[name.split("-")[0]] = path
+
+    save(f"style_net-epoch-{epoch}.pth",
+         {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_reference_state_dict(params).items()})
+    if opt_state is not None:
+        save(f"optimizer-epoch-{epoch}.pth",
+             adam_state_to_torch(opt_state, lr))
+    if d_params is not None:
+        save(f"netD-epoch-{epoch}.pth",
+             {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in discriminator_to_torch_state(d_params).items()})
+    return out
+
+
+def import_train_checkpoint(style_pth: str, params_template: Dict,
+                            opt_state_template, optimizer_pth: str = None,
+                            netd_pth: str = None, dtype=np.float32):
+    """The inverse: reference trio -> (params, opt_state, step, d_params).
+    Missing pieces keep the template (fresh) values; `step` is the torch
+    Adam step count (0 when no optimizer file)."""
+    import torch
+
+    params, _ = load_pretrained(style_pth, params_template, dtype)
+    opt_state, step = opt_state_template, 0
+    if optimizer_pth is not None:
+        sd = torch.load(optimizer_pth, map_location="cpu",
+                        weights_only=False)
+        opt_state, step = adam_state_from_torch(sd, opt_state_template,
+                                                params)
+    d_params = None
+    if netd_pth is not None:
+        sd = torch.load(netd_pth, map_location="cpu", weights_only=True)
+        d_params = discriminator_from_torch_state(sd, dtype)
+    return params, opt_state, step, d_params
+
+
 def load_pretrained(path: str, template: Dict, dtype=np.float32):
     """Initialise training from a checkpoint in any supported format:
     reference ``.pth`` (with the 3-stage fallback above) or our native

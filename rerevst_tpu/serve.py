@@ -13,6 +13,16 @@ Endpoints (image payloads are encoded images — png/jpg — as request bodies):
                            concatenation protocol (N frames as a .npz body),
                            returns stylized frames as an .npz
 
+Clips larger than the body cap use the chunked clip-session protocol
+(every request/response stays under the cap; the server spools to disk and
+runs the constant-memory streaming pipeline, so server RAM is bounded too):
+
+  POST /clip/open?interval=N          -> {"clip": token}
+  POST /clip/<token>/frames           .npz chunk of frames -> {"received": n}
+  POST /clip/<token>/finish           run the two-pass pipeline -> {"frames": n}
+  GET  /clip/<token>/result?start=S&count=C  -> .npz of stylized frames [S, S+C)
+  POST /clip/<token>/close            delete the session's spool
+
 Concurrency model: ONE Stylization session per process, all device compute
 serialized through a lock.  The server accepts connections on threads so
 health checks and error replies stay responsive during long video requests,
@@ -81,6 +91,8 @@ class StylizeService:
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
         self.lock = threading.Lock()
+        #: token -> chunked clip-session state (disk spool dirs).
+        self.clips = {}
 
     def healthz(self):
         import jax
@@ -103,6 +115,115 @@ class StylizeService:
     def stylize(self, img):
         with self.lock:
             return self.session.transfer(img)
+
+    # ------------------------------------------------------------------
+    # Chunked clip sessions (clips beyond the request-body cap)
+    # ------------------------------------------------------------------
+
+    def clip_open(self, interval: int) -> str:
+        import tempfile
+        import uuid
+
+        if self.session.style is None:
+            raise RuntimeError("set a style first (POST /style)")
+        token = uuid.uuid4().hex[:16]
+        with self.lock:
+            self.clips[token] = {
+                "dir": tempfile.mkdtemp(prefix=f"rerevst_clip_{token}_"),
+                "interval": interval, "n": 0, "done": 0, "shape": None,
+            }
+        return token
+
+    def _clip(self, token: str):
+        clip = self.clips.get(token)
+        if clip is None:
+            raise RuntimeError(f"unknown clip token {token!r}")
+        return clip
+
+    def clip_frames(self, token: str, frames, max_frames: int) -> int:
+        """Append a chunk of frames to the clip's disk spool (lossless PNG,
+        one file per frame — the pipeline reads them back lazily)."""
+        import os
+
+        import cv2
+
+        clip = self._clip(token)
+        if clip["done"]:
+            raise RuntimeError("clip already finished")
+        if clip["n"] + len(frames) > max_frames:
+            raise ValueError(
+                f"clip too long: {clip['n'] + len(frames)} frames > cap "
+                f"{max_frames}")
+        for f in frames:
+            if f.ndim != 3 or f.shape[2] != 3 or f.dtype != np.uint8:
+                raise ValueError(
+                    f"expected uint8 HxWx3 frames, got {f.dtype} {f.shape}")
+            if clip["shape"] is None:
+                clip["shape"] = f.shape
+            elif f.shape != clip["shape"]:
+                raise ValueError(
+                    f"frame shape {f.shape} != first frame {clip['shape']} "
+                    f"(geometry is fixed per clip)")
+            cv2.imwrite(os.path.join(clip["dir"],
+                                     f"frame_{clip['n']:06d}.png"), f)
+            clip["n"] += 1
+        return clip["n"]
+
+    def clip_finish(self, token: str) -> int:
+        """Run the constant-memory two-pass pipeline over the spooled clip;
+        results stream to disk next to the spool."""
+        import os
+
+        import cv2
+
+        from rerevst_tpu.config import InferenceConfig
+        from rerevst_tpu.data.source import PathsSource
+
+        clip = self._clip(token)
+        if clip["n"] == 0:
+            raise ValueError("empty clip")
+        if clip["done"]:
+            return clip["n"]
+        paths = [os.path.join(clip["dir"], f"frame_{i:06d}.png")
+                 for i in range(clip["n"])]
+        with self.lock:
+            self.session.infer = InferenceConfig(
+                sample_interval=clip["interval"],
+                use_global=self.session.use_global,
+                batch_size=min(clip["n"], 8))
+            self.session.clean()
+            for i, styled in enumerate(
+                    self.session.stylize_video(PathsSource(paths))):
+                cv2.imwrite(os.path.join(clip["dir"],
+                                         f"res_{i:06d}.png"), styled)
+        clip["done"] = 1
+        return clip["n"]
+
+    def clip_result(self, token: str, start: int, count: int):
+        import os
+
+        import cv2
+
+        clip = self._clip(token)
+        if not clip["done"]:
+            raise RuntimeError("clip not finished (POST /clip/<t>/finish)")
+        if start < 0 or count < 1 or start >= clip["n"]:
+            raise ValueError(f"bad range [{start}, {start + count}) of "
+                             f"{clip['n']} frames")
+        out = []
+        for i in range(start, min(start + count, clip["n"])):
+            img = cv2.imread(os.path.join(clip["dir"], f"res_{i:06d}.png"))
+            if img is None:
+                raise RuntimeError(f"result frame {i} missing")
+            out.append(img)
+        return out
+
+    def clip_close(self, token: str) -> None:
+        import shutil
+
+        clip = self.clips.pop(token, None)
+        if clip is not None:
+            shutil.rmtree(clip["dir"], ignore_errors=True)
 
     def video(self, frames, interval: int, max_frames: int):
         from rerevst_tpu.config import InferenceConfig
@@ -176,9 +297,31 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
             pass                    # errors (logged explicitly in do_POST)
 
         def do_GET(self):
-            if self.path.startswith("/healthz"):
-                return self._reply(200, svc.healthz())
-            return self._error(404, "NotFound", self.path)
+            try:
+                path, _, query = self.path.partition("?")
+                qs = dict(kv.split("=", 1) for kv in query.split("&")
+                          if "=" in kv)
+                if path.startswith("/healthz"):
+                    return self._reply(200, svc.healthz())
+                parts = path.strip("/").split("/")
+                if (len(parts) == 3 and parts[0] == "clip"
+                        and parts[2] == "result"):
+                    outs = svc.clip_result(parts[1],
+                                           int(qs.get("start", "0")),
+                                           int(qs.get("count", "64")))
+                    bio = io.BytesIO()
+                    np.savez_compressed(
+                        bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
+                    return self._reply(200, bio.getvalue(),
+                                       "application/octet-stream")
+                return self._error(404, "NotFound", path)
+            except ValueError as e:
+                return self._error(400, type(e).__name__, str(e))
+            except RuntimeError as e:
+                return self._error(409, type(e).__name__, str(e))
+            except Exception as e:  # noqa: BLE001 — service boundary
+                traceback.print_exc(file=sys.stderr)
+                return self._error(500, type(e).__name__, str(e))
 
         def do_POST(self):
             try:
@@ -195,6 +338,29 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                 if path == "/stylize":
                     out = svc.stylize(_imdecode(self._body()))
                     return self._reply(200, _imencode(out), "image/png")
+                parts = path.strip("/").split("/")
+                if parts[0] == "clip":
+                    if len(parts) == 2 and parts[1] == "open":
+                        token = svc.clip_open(int(qs.get("interval", "8")))
+                        return self._reply(200, {"clip": token})
+                    if len(parts) == 3 and parts[2] == "frames":
+                        try:
+                            with np.load(io.BytesIO(self._body())) as z:
+                                frames = [z[k] for k in sorted(z.files)]
+                        except _HttpError:
+                            raise
+                        except Exception as e:
+                            raise ValueError(f"undecodable .npz body: {e}")
+                        n = svc.clip_frames(parts[1], frames, max_frames)
+                        return self._reply(200, {"received": n})
+                    if len(parts) == 3 and parts[2] == "finish":
+                        n = svc.clip_finish(parts[1])
+                        return self._reply(
+                            200, {"frames": n,
+                                  "pass1": svc.session.pass1_mode})
+                    if len(parts) == 3 and parts[2] == "close":
+                        svc.clip_close(parts[1])
+                        return self._reply(200, {"ok": True})
                 if path == "/video":
                     try:
                         with np.load(io.BytesIO(self._body())) as z:
@@ -235,11 +401,12 @@ class _HttpError(Exception):
 
 def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           dtype: str = "bf16", mix: str = "none", use_global: bool = True,
-          max_body_mb: int = DEFAULT_MAX_BODY_MB,
+          max_body_mb: float = DEFAULT_MAX_BODY_MB,
           max_frames: int = DEFAULT_MAX_FRAMES) -> ThreadingHTTPServer:
     svc = StylizeService(checkpoint, dtype, mix, use_global)
     server = ThreadingHTTPServer(
-        (host, port), make_handler(svc, max_body_mb << 20, max_frames))
+        (host, port),
+        make_handler(svc, int(max_body_mb * (1 << 20)), max_frames))
     server.daemon_threads = True
     return server
 
@@ -261,7 +428,7 @@ def main(argv=None):
                          "(0.54e-3/pixel); 'enc'/'dec' alone FAIL the 1e-3 "
                          "parity bar — see PERF.md")
     ap.add_argument("--no-global", action="store_true")
-    ap.add_argument("--max-body-mb", type=int, default=DEFAULT_MAX_BODY_MB)
+    ap.add_argument("--max-body-mb", type=float, default=DEFAULT_MAX_BODY_MB)
     ap.add_argument("--max-frames", type=int, default=DEFAULT_MAX_FRAMES)
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,

@@ -79,16 +79,18 @@ def main(argv=None):
                             infer=infer, mesh=mesh)
     framework.prepare_style(vio.read_frame(args.style))
 
-    if vio.is_video_file(args.frames):
-        frames = vio.read_video(args.frames)
-        frame_paths = [f"frame_{i + 1:04d}.png" for i in range(len(frames))]
-        clip_name = os.path.splitext(os.path.basename(args.frames))[0]
+    # Constant-memory input: the pipeline pulls frames from the source
+    # lazily (reference behavior: one cv2.imread per frame,
+    # test/generate_real_video.py:152-171), never the whole clip.
+    from rerevst_tpu.data.source import PathsSource, as_source
+
+    source = as_source(args.frames)
+    if isinstance(source, PathsSource):
+        out_names = [os.path.basename(p) for p in source.paths]
+        clip_name = os.path.basename(os.path.dirname(source.paths[0]))
     else:
-        frame_paths = vio.list_frames(args.frames)
-        if not frame_paths:
-            raise SystemExit(f"no frames match {args.frames!r}")
-        frames = [vio.read_frame(p) for p in frame_paths]
-        clip_name = os.path.basename(os.path.dirname(frame_paths[0]))
+        out_names = [f"frame_{i + 1:04d}.png" for i in range(len(source))]
+        clip_name = os.path.splitext(os.path.basename(args.frames))[0]
 
     style_name = os.path.splitext(os.path.basename(args.style))[0]
     name = f"ReReVST-{style_name}-{clip_name}" + (
@@ -100,30 +102,42 @@ def main(argv=None):
 
     from rerevst_tpu.profiling import PhaseTimer, trace
 
+    ewarp_acc = None
+    originals = None
+    if args.ewarp:
+        from rerevst_tpu.eval.ewarp import EwarpAccumulator
+
+        ewarp_acc = EwarpAccumulator()
+        originals = iter(source)  # second lazy pass, one frame at a time
+
+    video_writer = (None if args.no_video else vio.VideoWriter(
+        os.path.join(args.video_out, f"{name}.avi"), fps=args.fps))
     timer = PhaseTimer()
     t0 = time.time()
-    results = []
-    with (trace(args.trace) if args.trace else contextlib.nullcontext()):
-        with timer.phase("stylize+write"):
-            for i, styled in enumerate(
-                    framework.stylize_video(frames, args.batch)):
-                vio.write_frame(
-                    os.path.join(out_dir, os.path.basename(frame_paths[i])),
-                    styled)
-                results.append(styled)
+    n_out = 0
+    try:
+        with (trace(args.trace) if args.trace else contextlib.nullcontext()):
+            with timer.phase("stylize+write"):
+                for i, styled in enumerate(
+                        framework.stylize_video(source, args.batch)):
+                    vio.write_frame(os.path.join(out_dir, out_names[i]),
+                                    styled)
+                    if video_writer is not None:
+                        video_writer.write(styled)
+                    if ewarp_acc is not None:
+                        ewarp_acc.push(next(originals), styled)
+                    n_out += 1
+    finally:
+        if video_writer is not None:
+            video_writer.close()
     dt = time.time() - t0
-    report = {"frames": len(results), "seconds": round(dt, 2),
-              "fps": round(len(results) / dt, 2), "out": out_dir}
-    if args.ewarp and len(results) >= 2:
-        from rerevst_tpu.eval.ewarp import ewarp
-
-        report.update({k: round(v, 4) for k, v in
-                       ewarp(results, frames).items()})
+    report = {"frames": n_out, "seconds": round(dt, 2),
+              "fps": round(n_out / dt, 2), "out": out_dir,
+              "pass1": framework.pass1_mode}
+    if ewarp_acc is not None and ewarp_acc.pairs >= 1:
+        report.update({k: round(v, 4) if isinstance(v, float) else v
+                       for k, v in ewarp_acc.result().items()})
     print(json.dumps(report))
-
-    if not args.no_video:
-        vio.write_video(os.path.join(args.video_out, f"{name}.avi"),
-                        results, fps=args.fps)
 
 
 if __name__ == "__main__":

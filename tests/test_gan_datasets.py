@@ -18,34 +18,11 @@ from rerevst_tpu.models.discriminator import (
 import ref_oracle
 
 
-def d_params_to_torch_state(params, n_layers=3):
-    """Map our D params onto the reference NLayerDiscriminator Sequential
-    indices: conv@0, (conv,bn)@(2,3),(5,6), final-stride1 (conv,bn)@(8,9),
-    out conv@11."""
-    sd = {}
-
-    def put_conv(idx, p):
-        sd[f"model.{idx}.weight"] = np.transpose(np.asarray(p["w"]),
-                                                 (3, 2, 0, 1))
-        if "b" in p:
-            sd[f"model.{idx}.bias"] = np.asarray(p["b"])
-
-    def put_bn(idx, p, c):
-        sd[f"model.{idx}.weight"] = np.asarray(p["scale"])
-        sd[f"model.{idx}.bias"] = np.asarray(p["bias"])
-        sd[f"model.{idx}.running_mean"] = np.zeros(c, np.float32)
-        sd[f"model.{idx}.running_var"] = np.ones(c, np.float32)
-        sd[f"model.{idx}.num_batches_tracked"] = np.asarray(0)
-
-    put_conv(0, params["conv0"])
-    put_conv(2, params["conv1"])
-    put_bn(3, params["bn1"], params["bn1"]["scale"].shape[0])
-    put_conv(5, params["conv2"])
-    put_bn(6, params["bn2"], params["bn2"]["scale"].shape[0])
-    put_conv(8, params["conv3"])
-    put_bn(9, params["bn3"], params["bn3"]["scale"].shape[0])
-    put_conv(11, params["conv_out"])
-    return sd
+# The D param -> torch state mapping now lives in io.torch_compat (it's
+# part of the netD-epoch-N.pth train-state interop).
+from rerevst_tpu.io.torch_compat import (  # noqa: E402
+    discriminator_to_torch_state as d_params_to_torch_state,
+)
 
 
 class TestDiscriminator:

@@ -145,6 +145,88 @@ def test_video_frame_validation_400(server_url, clip):
     assert s == 400 and "geometry" in json.loads(body)["error"]["message"]
 
 
+def test_chunked_clip_session_exceeds_body_cap(tmp_path_factory, clip):
+    """A clip whose total payload exceeds the request-body cap streams
+    through the /clip session protocol: every request/response stays under
+    the cap, the server spools to disk, and the result equals the direct
+    pipeline's output frame for frame."""
+    import jax
+
+    from rerevst_tpu.api import Stylization
+    from rerevst_tpu.config import InferenceConfig, ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import serve
+
+    frames3, style = clip
+    frames = frames3 * 2  # 6 frames
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    params["decoder"] = jax.tree.map(lambda a: a * 5.0, params["decoder"])
+    ckpt = str(tmp_path_factory.mktemp("clipsrv") / "m.msgpack")
+    save_params(ckpt, params)
+
+    cap_mb = 0.05  # 51 KiB — the whole clip doesn't fit in one request
+    cap = int(cap_mb * (1 << 20))
+    whole = io.BytesIO()
+    np.savez_compressed(whole,
+                        **{f"f{i:05d}": f for i, f in enumerate(frames)})
+    assert len(whole.getvalue()) > cap, "fixture must exceed the body cap"
+
+    server = serve(ckpt, port=0, dtype="f32", max_body_mb=cap_mb,
+                   max_frames=64)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    try:
+        s, _, _ = _post(url + "/style", _png(style))
+        assert s == 200
+        s, body, _ = _post(url + "/clip/open?interval=2", b"")
+        assert s == 200
+        token = json.loads(body)["clip"]
+        for start in range(0, len(frames), 2):
+            bio = io.BytesIO()
+            np.savez_compressed(bio, **{
+                f"f{i:05d}": f
+                for i, f in enumerate(frames[start:start + 2])})
+            chunk = bio.getvalue()
+            assert len(chunk) <= cap, "each chunk must fit under the cap"
+            s, body, _ = _post(url + f"/clip/{token}/frames", chunk)
+            assert s == 200, body
+        assert json.loads(body)["received"] == len(frames)
+        s, body, _ = _post(url + f"/clip/{token}/finish", b"")
+        assert s == 200, body
+        assert json.loads(body)["frames"] == len(frames)
+
+        outs = []
+        for start in (0, 4):
+            with urllib.request.urlopen(
+                    url + f"/clip/{token}/result?start={start}&count=4",
+                    timeout=600) as r:
+                with np.load(io.BytesIO(r.read())) as z:
+                    outs.extend(z[k] for k in sorted(z.files))
+        assert len(outs) == len(frames)
+        _post(url + f"/clip/{token}/close", b"")
+        # Closed session is gone.
+        s, _, _ = _post(url + f"/clip/{token}/finish", b"")
+        assert s == 409
+    finally:
+        server.shutdown()
+
+    # Byte-identical to the direct constant-memory pipeline.
+    local = Stylization(
+        checkpoint=ckpt,
+        cfg=ModelConfig(),
+        use_global=True,
+        infer=InferenceConfig(sample_interval=2,
+                              batch_size=min(len(frames), 8)))
+    local.prepare_style(style)
+    want = list(local.stylize_video(frames))
+    for a, b in zip(outs, want):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stylize_before_style_is_409(tmp_path, clip):
     """Protocol-state violations are 409, not 500."""
     import jax
