@@ -172,6 +172,14 @@ class TrainConfig:
     #: Sintel flow (content_data points at the MPI tree) or zip'd video pairs.
     use_mpi: bool = False
     use_video: bool = False
+    #: Discriminator weight-init scheme (``train/other_networks.py:28-49``,
+    #: init_weights): 'normal' (the reference driver's choice,
+    #: ``train/train.py:277``) | 'xavier' | 'kaiming' | 'orthogonal'.
+    d_init: str = "normal"
+    #: Data-parallel training over this many devices (0 = single-device).
+    #: With multiple processes (``--coordinator``/``--num_processes``) the
+    #: mesh spans all hosts and ``batch_size`` is PER PROCESS.
+    data_parallel: int = 0
     #: Rematerialize the decoder in the backward pass (jax.checkpoint) —
     #: trades ~15% FLOPs for large activation-memory savings; enables big
     #: batches / 512^2 crops on one chip.

@@ -7,14 +7,18 @@ channels, conv(->512,k4,s1,no-bias)+BN+lrelu, conv(->1,k4,s1).  BatchNorm
 in train mode, and the discriminator is never run in eval mode in the
 reference (``train/train.py:278``), so no running stats are kept.
 
-Init mirrors init_weights 'normal' (``train/other_networks.py:28-49``,
-applied at ``train/train.py:277``): convs N(0, 0.02), BN scale N(1, 0.02),
-biases 0.
+Init implements all four init_weights schemes
+(``train/other_networks.py:28-49``, applied at ``train/train.py:277`` with
+the default 'normal'): convs normal(0, gain) / xavier / kaiming /
+orthogonal, BN scale N(1, 0.02) + zero biases regardless of scheme
+(torch's BatchNorm branch ignores init_type).
 """
 
 from __future__ import annotations
 
 from typing import Dict
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -22,14 +26,48 @@ from jax import lax
 
 from rerevst_tpu.models.layers import leaky_relu
 
+INIT_SCHEMES = ("normal", "xavier", "kaiming", "orthogonal")
+
+
+def init_conv_weight(key, shape, scheme: str = "normal", gain: float = 0.02,
+                     dtype=jnp.float32):
+    """One conv weight [kh,kw,cin,cout] with torch init_weights semantics
+    (``train/other_networks.py:31-41``): 'normal' N(0,gain); 'xavier'
+    xavier_normal_(gain); 'kaiming' kaiming_normal_(a=0, fan_in);
+    'orthogonal' orthogonal_(gain) over the (cout, rest) flattening."""
+    kh, kw, cin, cout = shape
+    fan_in, fan_out = kh * kw * cin, kh * kw * cout
+    if scheme == "normal":
+        return jax.random.normal(key, shape, dtype) * gain
+    if scheme == "xavier":
+        std = gain * np.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.normal(key, shape, dtype) * std
+    if scheme == "kaiming":
+        std = np.sqrt(2.0 / fan_in)  # a=0 leaky_relu gain over fan_in
+        return jax.random.normal(key, shape, dtype) * std
+    if scheme == "orthogonal":
+        rows, cols = cout, kh * kw * cin
+        tall = (max(rows, cols), min(rows, cols))
+        a = jax.random.normal(key, tall, jnp.float32)
+        q, r = jnp.linalg.qr(a)
+        q = q * jnp.sign(jnp.diagonal(r))  # unique/uniform sign, like torch
+        w2d = q.T if rows < cols else q   # (rows, cols), semi-orthogonal
+        w = (gain * w2d).reshape(cout, cin, kh, kw)
+        return jnp.transpose(w, (2, 3, 1, 0)).astype(dtype)
+    raise ValueError(f"unknown init scheme {scheme!r} "
+                     f"(choose from {INIT_SCHEMES})")
+
 
 def init_discriminator_params(key, in_ch: int = 3, ndf: int = 64,
-                              n_layers: int = 3, dtype=jnp.float32) -> Dict:
+                              n_layers: int = 3, dtype=jnp.float32,
+                              scheme: str = "normal",
+                              gain: float = 0.02) -> Dict:
     keys = jax.random.split(key, n_layers + 3)
     params: Dict = {}
 
     def conv(k, kh, kw, cin, cout, bias):
-        p = {"w": jax.random.normal(k, (kh, kw, cin, cout), dtype) * 0.02}
+        p = {"w": init_conv_weight(k, (kh, kw, cin, cout), scheme, gain,
+                                   dtype)}
         if bias:
             p["b"] = jnp.zeros((cout,), dtype)
         return p

@@ -18,13 +18,63 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def distributed_init(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Multi-process (multi-host) runtime init.
+
+    After this, ``jax.devices()`` is the GLOBAL device list and
+    ``frame_mesh()`` spans every host: collectives ride ICI within a host's
+    slice and DCN across hosts, with each process feeding only its local
+    input shard (``local_batch_to_global``) — the multi-host input-pipeline
+    design SURVEY §5 calls for.  On the CPU backend (tests / dry runs) the
+    cross-process collectives use gloo.
+
+    No-op for ``num_processes <= 1``.
+    """
+    if num_processes <= 1:
+        return
+    try:
+        # Only affects the CPU backend; required for cross-process CPU
+        # collectives in tests/dryruns, ignored by TPU.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older jax without the option
+        pass
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+
+
 def frame_mesh(n_devices: Optional[int] = None,
                devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over (the first n) local devices."""
+    """1-D data-parallel mesh over (the first n) devices.
+
+    After ``distributed_init`` the default device list is global, so the
+    mesh spans all hosts."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes owning this mesh's devices."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
+def local_device_count_in(mesh: Mesh) -> int:
+    """This process's device count within `mesh`."""
+    me = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == me)
+
+
+def local_batch_to_global(mesh: Mesh, x, axis_name: str = DATA_AXIS):
+    """Per-process LOCAL batch -> one global batch-sharded jax.Array.
+
+    The multi-host input pipeline: every process contributes its own shard
+    (shards concatenate in process order along axis 0); no host ever
+    materializes the global batch.
+    """
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
 
 def sharded_batch(mesh: Mesh) -> NamedSharding:

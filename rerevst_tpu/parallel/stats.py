@@ -32,7 +32,6 @@ def collect_stats_sharded(params_dec, feats, style: StyleFeatures,
     unpadded collection up to fp reassociation.
     """
     ndev = mesh.shape[DATA_AXIS]
-    feats, mask = pad_to_multiple(feats, ndev, axis=0)
 
     def local(params_dec, feats_l, mask_l, style):
         reduce_fns = (
@@ -49,4 +48,23 @@ def collect_stats_sharded(params_dec, feats, style: StyleFeatures,
         out_specs=P(),
         check_vma=False,
     )
+    from rerevst_tpu.parallel.mesh import (
+        local_batch_to_global,
+        local_device_count_in,
+        mesh_process_count,
+    )
+
+    if mesh_process_count(mesh) > 1:
+        # Multi-host: `feats` is this process's LOCAL shard.  Pad LOCALLY to
+        # the per-process device multiple (eager ops on non-addressable
+        # global arrays are illegal), lift both to one global array, and run
+        # jitted so execution is a single SPMD program; the mask keeps the
+        # padding out of every reduction, as in the single-host path.
+        per = local_device_count_in(mesh)
+        feats_l, mask_l = pad_to_multiple(feats, per, axis=0)
+        feats_g = local_batch_to_global(mesh, feats_l)
+        mask_g = local_batch_to_global(mesh, mask_l)
+        return jax.jit(fn)(params_dec, feats_g, mask_g, style)
+
+    feats, mask = pad_to_multiple(feats, ndev, axis=0)
     return fn(params_dec, feats, mask, style)

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tvWeight", type=float, default=10.0)
     p.add_argument("--temporalWeight", type=float, default=60.0)
     p.add_argument("--ganWeight", type=float, default=1.0)
+    p.add_argument("--init_type", default="normal",
+                   choices=["normal", "xavier", "kaiming", "orthogonal"],
+                   help="discriminator weight init scheme "
+                        "(train/other_networks.py:28-49 init_weights)")
     p.add_argument("--gan_mode", default="lsgan",
                    choices=["lsgan", "vanilla", "wgangp"],
                    help="GAN objective with --adaversarial_loss "
@@ -79,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_motion_level", type=float, default=8.0)
     p.add_argument("--data_shift_level", type=int, default=10)
 
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the batch over this many devices (0 = "
+                        "single-device); with multi-process flags the mesh "
+                        "spans all hosts and batchSize is PER PROCESS")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: jax.distributed coordinator "
+                        "host:port (same on every process)")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="multi-host: total process count")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="multi-host: this process's id in [0, "
+                        "num_processes)")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--vgg_init", default="torch",
                    choices=["torch", "he_relu"],
@@ -123,7 +139,8 @@ def config_from_args(a) -> TrainConfig:
         seed=a.manualSeed, content_data=a.content_data,
         style_data=a.style_data, out_dir=a.outf, val_dir=a.valf,
         log_dir=a.log_dir, train_only_decoder=a.train_only_decoder,
-        use_mpi=a.use_mpi, use_video=a.use_video,
+        use_mpi=a.use_mpi, use_video=a.use_video, d_init=a.init_type,
+        data_parallel=a.data_parallel,
         loss=loss, model=model,
     )
 
@@ -134,6 +151,16 @@ def main(argv=None):
     enable_compile_cache()
 
     args = build_parser().parse_args(argv)
+    if args.num_processes > 1:
+        # Multi-host launch: run this module once per host with the same
+        # --coordinator and a unique --process_id; jax.devices() then spans
+        # every host and --data_parallel 0 uses them all.
+        if not args.coordinator:
+            raise SystemExit("--num_processes > 1 needs --coordinator")
+        from rerevst_tpu.parallel import distributed_init
+
+        distributed_init(args.coordinator, args.num_processes,
+                         args.process_id)
     cfg = config_from_args(args)
     print(cfg, flush=True)
     train(cfg, max_steps=args.max_steps, resume=args.continue_training,

@@ -262,7 +262,7 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
         from rerevst_tpu.train.step import make_adversarial_train_step
 
         d_params = init_discriminator_params(
-            jax.random.PRNGKey(cfg.seed + 99))
+            jax.random.PRNGKey(cfg.seed + 99), scheme=cfg.d_init)
         adv_step, d_opt = make_adversarial_train_step(cfg, state.params,
                                                       d_params)
         d_state = TrainState(d_params, d_opt.init(d_params),
@@ -280,15 +280,32 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
             state, d_state, metrics = adv_step(state, d_state, content,
                                                style, key)
             return state, metrics
+    elif cfg.data_parallel > 1 or jax.process_count() > 1:
+        # Data-parallel (possibly multi-host) training: batch sharded over
+        # the mesh, grads pmean'd over ICI/DCN.  Each process's loader
+        # feeds its own shard (batch_size is per process).
+        if cfg.use_mpi or cfg.use_video:
+            raise NotImplementedError(
+                "MPI/video ablation losses are single-device only")
+        from rerevst_tpu.parallel import frame_mesh
+        from rerevst_tpu.train.step import make_sharded_train_step
+
+        mesh = frame_mesh(cfg.data_parallel or None)
+        sharded = make_sharded_train_step(cfg, state.params, mesh)
+
+        def step_fn(state, content, style, key, extra=None):
+            return sharded(state, content, style, key)
     else:
         step_fn = make_train_step(cfg, state.params)
+    is_chief = jax.process_index() == 0
     loader = get_loader(cfg.batch_size, cfg.load_size, cfg.fine_size,
                         cfg.flip, cfg.content_data, cfg.style_data,
-                        num_workers=cfg.num_workers, seed=cfg.seed,
+                        num_workers=cfg.num_workers,
+                        seed=cfg.seed + 7919 * jax.process_index(),
                         use_mpi=cfg.use_mpi, use_video=cfg.use_video)
-    logger = MetricsLogger(cfg.log_dir)
+    logger = MetricsLogger(cfg.log_dir) if is_chief else None
     validation = None
-    if os.path.isdir(os.path.join(cfg.val_dir, "content")):
+    if is_chief and os.path.isdir(os.path.join(cfg.val_dir, "content")):
         validation = Validation(cfg.val_dir, net, cfg.out_dir)
         validation.save_results(state.params, 0)
 
@@ -311,7 +328,7 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                 it += 1
                 cur_total += float(metrics["total"])
 
-                if it % cfg.scalar_every == 0:
+                if it % cfg.scalar_every == 0 and is_chief:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = (time.time() - t0) / cfg.scalar_every
                     t0 = time.time()
@@ -324,7 +341,7 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                           flush=True)
                     logger.log(it, metrics)
 
-                if it % cfg.log_every == 0:
+                if it % cfg.log_every == 0 and is_chief:
                     cur_total /= cfg.log_every
                     if cur_total < min_total:
                         min_total = cur_total
@@ -348,7 +365,7 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
         # must never raise (a device loss makes fetching params fail) — that
         # would mask the original exception and lose the real diagnostic.
         try:
-            if it > int(start_step):
+            if it > int(start_step) and is_chief:
                 save_train_state(cfg.out_dir, it, state.params,
                                  state.opt_state)
                 if d_state is not None:
@@ -356,7 +373,8 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
         except Exception as e:  # noqa: BLE001 — diagnostic-preserving
             print(f"WARNING: crash-flush checkpoint failed: {e!r}", flush=True)
         try:
-            logger.close()
+            if logger is not None:
+                logger.close()
         except Exception:
             pass
     return state

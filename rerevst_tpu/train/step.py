@@ -295,17 +295,32 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
         check_vma=False,
     ))
     n_shards = int(mesh.devices.size)
+    from rerevst_tpu.parallel.mesh import (
+        local_batch_to_global,
+        local_device_count_in,
+        mesh_process_count,
+    )
+
+    multihost = mesh_process_count(mesh) > 1
+    n_local = local_device_count_in(mesh) if multihost else n_shards
 
     def step(state: TrainState, content, style, key):
         # Non-divisible batches are an error by contract: silently padding a
         # *training* batch would bias gradients (pmean weights every shard
         # equally), unlike inference where pad_to_multiple masks stats.
-        if content.shape[0] % n_shards or style.shape[0] % n_shards:
+        # Multi-host: `content`/`style` are this process's LOCAL batches
+        # (the loader feeds each host its own shard); they lift to one
+        # global batch-sharded array, grads pmean over ICI+DCN.
+        if content.shape[0] % n_local or style.shape[0] % n_local:
+            scope = (f"this process's {n_local} mesh devices" if multihost
+                     else f"the mesh ({n_shards} devices)")
             raise ValueError(
-                f"sharded train step needs batch divisible by the mesh "
-                f"({n_shards} devices); got content batch "
-                f"{content.shape[0]}, style batch {style.shape[0]}. "
-                f"Pick batch_size = k * {n_shards}.")
+                f"sharded train step needs batch divisible by {scope}; got "
+                f"content batch {content.shape[0]}, style batch "
+                f"{style.shape[0]}. Pick batch_size = k * {n_local}.")
+        if multihost:
+            content = local_batch_to_global(mesh, content)
+            style = local_batch_to_global(mesh, style)
         return fn(state, content, style, key)
 
     return step

@@ -180,6 +180,39 @@ class TestStylization:
                             for a, b in zip(seq, seq[1:])])
         assert jitter(outs[True]) <= jitter(outs[False]) * 1.5
 
+    def test_temporal_stability_strict_with_trained_model(self):
+        """The paper's core claim as a HARD test: with the bundled trained
+        checkpoint, sequence-level global feature sharing must be strictly
+        MORE stable (lower E_warp) than per-frame stylization.
+
+        Needs trained weights and non-trivial geometry — at 64x96 crops
+        with 3-frame stats even the trained model inverts; at 128x256 over
+        9 frames the margin is large (measured 11.45 vs 17.12, i.e. global
+        is ~33% better; full-clip full-res numbers in DEMO_RESULTS.json are
+        11.32 vs 13.14)."""
+        import cv2
+
+        from rerevst_tpu.eval.ewarp import ewarp
+
+        path = "/root/repo/models/demo_plum_4000.msgpack"
+        if not os.path.exists(path):
+            pytest.skip("demo checkpoint not present")
+        frames = [cv2.imread(f"{FIXTURE}/ambush_4/frame_{i:04d}.png"
+                             )[:128, :256] for i in range(1, 10)]
+        style = cv2.resize(cv2.imread(f"{FIXTURE}/plum_flower.jpg"),
+                           (256, 256))
+        infer = InferenceConfig(pad=16, granularity=32, sample_interval=4,
+                                batch_size=4)
+        ew = {}
+        for mode in (True, False):
+            s = Stylization(checkpoint=path, cfg=ModelConfig(),
+                            use_global=mode, infer=infer)
+            s.prepare_style(style)
+            outs = list(s.stylize_video(frames, batch_size=4))
+            ew[mode] = ewarp(outs, frames)["ewarp"]
+        # Strict, with margin: global must beat per-frame by >= 10%.
+        assert ew[True] < 0.9 * ew[False], ew
+
 
 class TestMultiStyle:
     def test_interpolation_endpoints(self, fixture_frames):

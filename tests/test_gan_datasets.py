@@ -199,6 +199,51 @@ class TestDiscriminator:
         assert tot / cnt <= 0.05 * cfg.lr, tot / cnt
 
 
+class TestInitSchemes:
+    """init_weights parity (train/other_networks.py:28-49): all four schemes
+    with torch's statistics/structure."""
+
+    @pytest.mark.parametrize("scheme",
+                             ["normal", "xavier", "kaiming", "orthogonal"])
+    def test_statistics_match_torch(self, scheme):
+        import torch.nn.init as tinit
+
+        from rerevst_tpu.models.discriminator import init_conv_weight
+
+        shape = (4, 4, 64, 128)  # kh, kw, cin, cout
+        w = np.asarray(init_conv_weight(jax.random.PRNGKey(0), shape,
+                                        scheme, gain=0.02))
+        assert w.shape == shape
+        tw = torch.empty(128, 64, 4, 4)
+        if scheme == "normal":
+            tinit.normal_(tw, 0.0, 0.02)
+        elif scheme == "xavier":
+            tinit.xavier_normal_(tw, gain=0.02)
+        elif scheme == "kaiming":
+            tinit.kaiming_normal_(tw, a=0, mode="fan_in")
+        else:
+            tinit.orthogonal_(tw, gain=0.02)
+        ts = float(tw.std())
+        assert abs(float(w.std()) - ts) < 0.15 * max(ts, 1e-8), (w.std(), ts)
+        if scheme == "orthogonal":
+            # Semi-orthogonal rows scaled by gain: W2d W2d^T = gain^2 I.
+            w2d = np.transpose(w, (3, 2, 0, 1)).reshape(128, -1)
+            np.testing.assert_allclose(w2d @ w2d.T,
+                                       0.02 ** 2 * np.eye(128), atol=1e-6)
+
+    def test_discriminator_init_scheme_and_cli_flag(self):
+        from rerevst_tpu.models.discriminator import init_discriminator_params
+        from rerevst_tpu.train.__main__ import build_parser, config_from_args
+
+        p = init_discriminator_params(jax.random.PRNGKey(0),
+                                      scheme="orthogonal")
+        assert p["conv0"]["w"].shape == (4, 4, 3, 64)
+        with pytest.raises(ValueError):
+            init_discriminator_params(jax.random.PRNGKey(0), scheme="bogus")
+        args = build_parser().parse_args(["--init_type", "xavier"])
+        assert config_from_args(args).d_init == "xavier"
+
+
 class TestDatasets:
     @pytest.fixture()
     def data_dirs(self, tmp_path, rng):

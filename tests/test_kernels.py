@@ -39,6 +39,45 @@ class TestFilterChain:
                                    atol=1e-6)
 
 
+class TestConv3x3ImplicitGemm:
+    """The round-3 implicit-GEMM conv attempt for the roofline-worst
+    640^2 64-channel boundary layers (PERF.md); exactness here, speed
+    measured on the real chip by scripts/bench_conv3x3.py."""
+
+    @pytest.mark.parametrize("shape_o", [((2, 16, 24, 64), 64),
+                                         ((1, 8, 16, 64), 3)])
+    def test_matches_lax_conv(self, rng, shape_o):
+        from rerevst_tpu.kernels.conv3x3 import (
+            conv3x3_implicit_gemm,
+            conv3x3_nine_shift,
+        )
+
+        shape, o = shape_o
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, shape[-1], o)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST) + b
+        got = conv3x3_implicit_gemm(x, w, b, tile_h=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        got2 = conv3x3_nine_shift(x, w, b,
+                                  precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_rejects_nondivisible_tile(self, rng):
+        from rerevst_tpu.kernels.conv3x3 import conv3x3_implicit_gemm
+
+        x = jnp.zeros((1, 10, 16, 64))
+        w = jnp.zeros((3, 3, 64, 64))
+        with pytest.raises(ValueError, match="divisible"):
+            conv3x3_implicit_gemm(x, w, tile_h=8, interpret=True)
+
+
 class TestNormAffine:
     def test_matches_xla(self, rng):
         c = 64
