@@ -65,14 +65,15 @@ def main(argv=None):
               for s in args.styles]
     ms.prepare_styles(styles)
 
-    if vio.is_video_file(args.frames):
-        frames = vio.read_video(args.frames)
-        frame_paths = [f"frame_{i + 1:04d}.png" for i in range(len(frames))]
+    # Lazy frame source: the pipeline reads one frame at a time, and long
+    # clips auto-spill their feature cache to a temp memmap.
+    from rerevst_tpu.data.source import PathsSource, as_source
+
+    source = as_source(args.frames)
+    if isinstance(source, PathsSource):
+        out_names = [os.path.basename(p) for p in source.paths]
     else:
-        frame_paths = vio.list_frames(args.frames)
-        if not frame_paths:
-            raise SystemExit(f"no frames match {args.frames!r}")
-        frames = [vio.read_frame(p) for p in frame_paths]
+        out_names = [f"frame_{i + 1:04d}.png" for i in range(len(source))]
 
     weights = None
     if args.weights is not None:
@@ -85,9 +86,8 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
     n = 0
-    for i, styled in enumerate(ms.interpolate_video(frames, weights=weights)):
-        vio.write_frame(os.path.join(args.out,
-                                     os.path.basename(frame_paths[i])), styled)
+    for i, styled in enumerate(ms.interpolate_video(source, weights=weights)):
+        vio.write_frame(os.path.join(args.out, out_names[i]), styled)
         n += 1
     dt = time.time() - t0
     print(json.dumps({"frames": n, "seconds": round(dt, 2),

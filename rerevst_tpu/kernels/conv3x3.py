@@ -8,11 +8,15 @@ accumulated MXU matmuls over row tiles:
     out[th*W, O] = sum_{dy,dx} slab[dy:dy+th, dx:dx+W, :] @ W[dy, dx]
 
 with the input slab (row tile + 1-row halo on each side, spatially
-pre-padded) DMA'd HBM->VMEM per grid step and a float32 VMEM accumulator.
-The 64-channel contraction uses half the MXU's K dim — the question this
-kernel answers by MEASUREMENT (scripts/bench_conv3x3.py, real chip) is
-whether that beats XLA's conv tiling on these shapes (VERDICT round-2 #3:
-"an estimate is not a measurement").
+pre-padded) double-buffer DMA'd HBM->VMEM (tile i+1's slab prefetches while
+tile i computes) and float32 accumulation.  The 64-channel contraction pads
+to the 128-lane DMA/tile granule — zeros are free on the MXU systolic passes
+but the formulation is stuck at 9 K-passes per tile where the true work is
+4.5; reaching the 4.5-5 pass floor needs an im2col/pair-packed layout whose
+pack/unpack relayouts are exactly what the measured parity-packing negative
+result documents.  MEASURED on the real chip (scripts/bench_conv3x3.py —
+VERDICT round-2 #3 demanded a measurement, not an estimate): see the
+PERF.md round-3 table; XLA's direct conv wins and stays the production path.
 
 Semantics: SAME-padded 3x3 conv, NHWC, optional bias; exact vs
 ``lax.conv_general_dilated`` up to fp accumulation order
@@ -29,22 +33,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xp_ref, w_ref, b_ref, o_ref, slab, sem, *, tile_h, W, C,
-            Opad, out_dtype):
+def _kernel(xp_ref, w_ref, b_ref, o_ref, slab, sem, *, tile_h, W, Wp, C,
+            Opad, out_dtype, n_tiles):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
-    # Halo'd row slab for this tile: rows [ti*tile_h, ti*tile_h + tile_h+2)
-    # of the spatially pre-padded input.
-    dma = pltpu.make_async_copy(
-        xp_ref.at[bi, pl.ds(ti * tile_h, tile_h + 2)], slab, sem)
-    dma.start()
-    dma.wait()
+    step = bi * n_tiles + ti
+    total = pl.num_programs(0) * n_tiles
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def copy_for(b_idx, t_idx, s):
+        # Halo'd row slab for tile (b_idx, t_idx): rows
+        # [t_idx*tile_h, t_idx*tile_h + tile_h+2) of the pre-padded input.
+        return pltpu.make_async_copy(
+            xp_ref.at[b_idx, pl.ds(t_idx * tile_h, tile_h + 2)],
+            slab.at[s], sem.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        copy_for(bi, ti, slot).start()
+
+    # Double buffering: prefetch the NEXT tile's slab while this one
+    # computes (the serial start->wait->compute version measured ~25%
+    # slower end to end).
+    @pl.when(step + 1 < total)
+    def _():
+        nbi = jax.lax.select(ti == n_tiles - 1, bi + 1, bi)
+        nti = jax.lax.select(ti == n_tiles - 1, 0, ti + 1)
+        copy_for(nbi, nti, nslot).start()
+
+    copy_for(bi, ti, slot).wait()
 
     a = b_ref[:].astype(jnp.float32)  # [1, Opad] bias (zeros when absent)
     a = jnp.broadcast_to(a, (tile_h * W, Opad))
     for dy in range(3):
         for dx in range(3):
-            xs = slab[pl.ds(dy, tile_h), pl.ds(dx, W), :]
+            xs = slab[slot, pl.ds(dy, tile_h), pl.ds(dx, W), :]
             xs = xs.reshape(tile_h * W, C)
             a = a + jax.lax.dot_general(
                 xs, w_ref[dy, dx],
@@ -57,38 +81,50 @@ def conv3x3_implicit_gemm(x, w, b=None, tile_h: int = 8,
                           interpret: bool = False):
     """SAME 3x3 conv, NHWC x HWIO -> NHWC, via tiled implicit GEMM.
 
-    `x` [B,H,W,C], `w` [3,3,C,O]; H must divide tile_h.  O is padded to a
-    lane multiple internally (the MXU runs 128 lanes regardless — this is
-    what makes the 64->3 output conv a candidate: XLA's direct lowering
-    achieves 2.2 TF/s on it).
+    `x` [B,H,W,C], `w` [3,3,C,O]; H must divide tile_h.  O pads to 64 or a
+    128 multiple (N <= 128 occupies one MXU pass either way; only the
+    output-write bytes differ).
     """
     B, H, W, C = x.shape
     O = w.shape[-1]
     if H % tile_h:
         raise ValueError(f"H={H} not divisible by tile_h={tile_h}")
-    Opad = max(128, ((O + 127) // 128) * 128) if O < 128 else O
+    if O <= 64:
+        Opad = 64
+    else:
+        Opad = ((O + 127) // 128) * 128
     if Opad != O:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, Opad - O)))
     bias = jnp.zeros((1, Opad), x.dtype) if b is None else jnp.pad(
         b.reshape(1, O).astype(x.dtype), ((0, 0), (0, Opad - O)))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Width pads to halo+left AND up to a sublane multiple; channels pad to
+    # a full lane tile: Mosaic requires DMA slice extents on the tiled dims
+    # to be (8, 128)-aligned.  The channel zeros are FREE on the MXU (a
+    # K=64 contraction occupies the same systolic passes as K=128) — the
+    # cost is 2x input DMA bytes, which the measurement prices in.
+    Wp = ((W + 2 + 7) // 8) * 8
+    Cpad = ((C + 127) // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wp - W - 1), (0, Cpad - C)))
+    if Cpad != C:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cpad - C), (0, 0)))
 
-    kern = functools.partial(_kernel, tile_h=tile_h, W=W, C=C, Opad=Opad,
-                             out_dtype=x.dtype)
+    n_tiles = H // tile_h
+    kern = functools.partial(_kernel, tile_h=tile_h, W=W, Wp=Wp, C=Cpad,
+                             Opad=Opad, out_dtype=x.dtype, n_tiles=n_tiles)
     out = pl.pallas_call(
         kern,
-        grid=(B, H // tile_h),
+        grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; manual DMA
-            pl.BlockSpec((3, 3, C, Opad), lambda bi, ti: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3, Cpad, Opad), lambda bi, ti: (0, 0, 0, 0)),
             pl.BlockSpec((1, Opad), lambda bi, ti: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W, Opad),
                                lambda bi, ti: (bi, ti, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Opad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W + 2, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2, Wp, Cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, w.astype(x.dtype), bias)

@@ -101,15 +101,23 @@ class MultiStylization:
         return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
                                     self._pad_hw)
 
-    def encode_frames(self, frames_bgr: Sequence[np.ndarray],
+    def encode_frames(self, frames_bgr,
                       cache_path: Optional[str] = None) -> jnp.ndarray:
-        """Encode every frame once.  With `cache_path`, features are stored in
-        a disk-backed memmap (the reference's ``cache/%d.pt`` directory,
-        ``Multi-style Interpolation/test.py:87-98``) so long clips don't have
-        to fit in HBM/RAM; pass the returned array straight to
+        """Encode every frame once.  `frames_bgr` is anything
+        ``data.source.as_source`` accepts (sequence / frame glob / video
+        file / FrameSource) — frames are read lazily, one at a time.  With
+        `cache_path`, features are stored in a disk-backed memmap (the
+        reference's ``cache/%d.pt`` directory, ``Multi-style
+        Interpolation/test.py:87-98``) so long clips don't have to fit in
+        HBM/RAM; pass the returned array straight to
         ``prepare_global``/``transfer``."""
-        first = self._encode_content(self.params, self._prep(frames_bgr[0]))
-        shape = (len(frames_bgr),) + first.shape[1:]
+        from rerevst_tpu.data.source import as_source
+
+        src = as_source(frames_bgr)
+        n = len(src)
+        it = iter(src)
+        first = self._encode_content(self.params, self._prep(next(it)))
+        shape = (n,) + first.shape[1:]
         if cache_path is not None:
             feats = np.lib.format.open_memmap(
                 cache_path, mode="w+", dtype=np.float32, shape=shape)
@@ -121,7 +129,7 @@ class MultiStylization:
         else:
             feats = np.empty(shape, np.float32)
         feats[0] = np.asarray(first[0])
-        for i, f in enumerate(frames_bgr[1:], start=1):
+        for i, f in enumerate(it, start=1):
             feats[i] = np.asarray(
                 self._encode_content(self.params, self._prep(f))[0])
         return feats if cache_path is not None else jnp.asarray(feats)
@@ -172,25 +180,58 @@ class MultiStylization:
         h, w_ = self._orig_hw
         return model_to_bgr(np.asarray(crop_back(out, h, w_, self.infer.pad)))
 
-    def interpolate_video(self, frames_bgr: Sequence[np.ndarray],
-                          weights: Optional[Sequence[Sequence[float]]] = None):
+    #: interpolate_video spills the frame-feature cache to a temp memmap
+    #: above this clip length (device/host RAM stays bounded; mirrors
+    #: Stylization.STREAMING_THRESHOLD).
+    SPILL_THRESHOLD = 64
+
+    def interpolate_video(self, frames_bgr,
+                          weights: Optional[Sequence[Sequence[float]]] = None,
+                          cache_path: Optional[str] = None):
         """Stylize a clip under a per-frame weight schedule.
+
+        `frames_bgr`: any ``as_source`` input, read lazily.  Long clips
+        (> SPILL_THRESHOLD frames) automatically cache features in a temp
+        memmap, so memory is bounded in clip length — the reference's disk
+        cache (``Multi-style Interpolation/test.py:87-98``) made automatic.
 
         `weights`: one row of len(styles) floats per frame (arbitrary values,
         as the reference driver allows, ``Multi-style
         Interpolation/test.py:127-131``).  Default: ``linear_sweep_weights``
         — the reference's demo ``[t, 1-t]`` A<-B sweep, generalized to a
         piecewise-linear traversal through all N styles."""
-        feats = self.encode_frames(frames_bgr)
-        self.prepare_global(feats)
-        n = feats.shape[0]
-        if weights is None:
-            weights = linear_sweep_weights(n, len(self.styles))
-        if len(weights) != n:
-            raise ValueError(
-                f"weight schedule has {len(weights)} rows for {n} frames")
-        for i in range(n):
-            yield self.transfer(feats[i : i + 1], weights[i])
+        from rerevst_tpu.data.source import as_source
+
+        src = as_source(frames_bgr)
+        n = len(src)
+        tmp = None
+        if cache_path is None and n > self.SPILL_THRESHOLD:
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(prefix="rerevst_msfeat_",
+                                       suffix=".npy")
+            os.close(fd)
+            cache_path = tmp
+        try:
+            feats = self.encode_frames(src, cache_path=cache_path)
+            self.prepare_global(feats)
+            if weights is None:
+                weights = linear_sweep_weights(n, len(self.styles))
+            if len(weights) != n:
+                raise ValueError(
+                    f"weight schedule has {len(weights)} rows for {n} frames")
+            for i in range(n):
+                f = feats[i : i + 1]
+                if isinstance(f, np.ndarray):
+                    f = jnp.asarray(np.asarray(f))
+                yield self.transfer(f, weights[i])
+        finally:
+            if tmp is not None:
+                for p in (tmp, tmp + ".meta.json"):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
 
 def linear_sweep_weights(n_frames: int, n_styles: int) -> List[List[float]]:
