@@ -115,7 +115,7 @@ def conv3x3_implicit_gemm(x, w, b=None, tile_h: int = 8,
         kern,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
             pl.BlockSpec((3, 3, Cpad, Opad), lambda bi, ti: (0, 0, 0, 0)),
             pl.BlockSpec((1, Opad), lambda bi, ti: (0, 0)),
         ],

@@ -13,6 +13,14 @@ Endpoints (image payloads are encoded images — png/jpg — as request bodies):
                            concatenation protocol (N frames as a .npz body),
                            returns stylized frames as an .npz
 
+Multi-style interpolation (the reference's ``Multi-style Interpolation/``
+variant as a service):
+
+  POST /styles             .npz of N pre-sized style images -> blended session
+  POST /interpolate        .npz of frames (+ optional "weights"
+                           [n_frames, n_styles] array; default linear sweep)
+                           -> .npz of stylized frames
+
 Clips larger than the body cap use the chunked clip-session protocol
 (every request/response stays under the cap; the server spools to disk and
 runs the constant-memory streaming pipeline, so server RAM is bounded too):
@@ -93,6 +101,10 @@ class StylizeService:
         self.lock = threading.Lock()
         #: token -> chunked clip-session state (disk spool dirs).
         self.clips = {}
+        #: lazily-created multi-style session (POST /styles).
+        self._checkpoint = checkpoint
+        self._cfg = cfg
+        self.multi = None
 
     def healthz(self):
         import jax
@@ -115,6 +127,45 @@ class StylizeService:
     def stylize(self, img):
         with self.lock:
             return self.session.transfer(img)
+
+    # ------------------------------------------------------------------
+    # Multi-style interpolation (the reference's Multi-style variant)
+    # ------------------------------------------------------------------
+
+    def set_styles(self, imgs):
+        """Prepare N styles for blended stylization (client pre-sizes them;
+        the reference uses 384x384, Multi-style .../test.py:52)."""
+        from rerevst_tpu.multistyle import MultiStylization
+
+        if len(imgs) < 1:
+            raise ValueError("need at least one style image")
+        with self.lock:
+            if self.multi is None:
+                self.multi = MultiStylization(checkpoint=self._checkpoint,
+                                              cfg=self._cfg)
+            self.multi.prepare_styles(imgs)
+
+    def interpolate(self, frames, weights, max_frames: int):
+        """Stylize `frames` under a per-frame [n_frames, n_styles] weight
+        schedule (None = the reference's linear sweep)."""
+        if self.multi is None or not self.multi.styles:
+            raise RuntimeError("set styles first (POST /styles)")
+        if not frames:
+            raise ValueError("empty clip")
+        if len(frames) > max_frames:
+            raise ValueError(
+                f"clip too long: {len(frames)} frames > cap {max_frames}")
+        if weights is not None:
+            weights = np.asarray(weights, np.float32)
+            if weights.shape != (len(frames), len(self.multi.styles)):
+                raise ValueError(
+                    f"weights shape {weights.shape} != "
+                    f"({len(frames)}, {len(self.multi.styles)})")
+            weights = weights.tolist()
+        with self.lock:
+            self.multi._pad_hw = None  # new clip: geometry re-locks
+            return list(self.multi.interpolate_video(frames,
+                                                     weights=weights))
 
     # ------------------------------------------------------------------
     # Chunked clip sessions (clips beyond the request-body cap)
@@ -338,6 +389,34 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                 if path == "/stylize":
                     out = svc.stylize(_imdecode(self._body()))
                     return self._reply(200, _imencode(out), "image/png")
+                if path == "/styles":
+                    try:
+                        with np.load(io.BytesIO(self._body())) as z:
+                            styles = [z[k] for k in sorted(z.files)]
+                    except _HttpError:
+                        raise
+                    except Exception as e:
+                        raise ValueError(f"undecodable .npz body: {e}")
+                    svc.set_styles(styles)
+                    return self._reply(200, {"ok": True,
+                                             "styles": len(styles)})
+                if path == "/interpolate":
+                    try:
+                        with np.load(io.BytesIO(self._body())) as z:
+                            weights = (z["weights"] if "weights" in z.files
+                                       else None)
+                            frames = [z[k] for k in sorted(z.files)
+                                      if k != "weights"]
+                    except _HttpError:
+                        raise
+                    except Exception as e:
+                        raise ValueError(f"undecodable .npz body: {e}")
+                    outs = svc.interpolate(frames, weights, max_frames)
+                    bio = io.BytesIO()
+                    np.savez_compressed(
+                        bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
+                    return self._reply(200, bio.getvalue(),
+                                       "application/octet-stream")
                 parts = path.strip("/").split("/")
                 if parts[0] == "clip":
                     if len(parts) == 2 and parts[1] == "open":
