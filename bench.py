@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="parity-packed boundary convs "
                          "(ModelConfig.parity_packed)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the frame-batch buffer to the hot call "
+                         "(input and output are same-shape B,H,W,3 so XLA "
+                         "may alias them) — buffer-donation micro-experiment")
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (infer/multistyle), 8 (1080p)")
     ap.add_argument("--frames", type=int, default=192,
@@ -134,29 +138,29 @@ def main():
         sf2, stats2 = prep(params, style2, sample)
         w1, w2 = jnp.asarray(0.3, jnp.float32), jnp.asarray(0.7, jnp.float32)
 
-        @jax.jit
-        def hot(params, frames, sf, stats):
+        def hot_fn(params, frames, sf, stats):
             bsf = blend_pytrees([sf, sf2], [w1, w2])
             bst = blend_pytrees([stats, stats2], [w1, w2])
             feats = encode_content(params, frames, cfg, desaturate=True)
             return decode_global(params["decoder"], feats, bsf, bst, cfg)
     else:
-        @jax.jit
-        def hot(params, frames, sf, stats):
+        def hot_fn(params, frames, sf, stats):
             feats = encode_content(params, frames, cfg, desaturate=True)
             return decode_global(params["decoder"], feats, sf, stats, cfg)
+    hot = jax.jit(hot_fn, donate_argnums=(1,) if args.donate else ())
 
     sf, stats = prep(params, style, sample)
 
     # Warmup / compile.  NOTE: on the tunneled TPU platform block_until_ready
     # does not actually block, so all timing below uses data-dependent call
     # chains (output fed back as input) closed by a scalar fetch.
-    out = hot(params, batch, sf, stats)
+    out = hot(params, batch + 0, sf, stats)  # +0: keep `batch` if donating
     float(jnp.mean(out.astype(jnp.float32)))
 
     def chain(n):
+        x = batch + 0  # fresh buffer per chain (donation invalidates inputs)
+        float(jnp.mean(x[0, 0, 0].astype(jnp.float32)))  # materialize it
         t0 = time.perf_counter()
-        x = batch
         for _ in range(n):
             # Cast back to the bench dtype: with an fp32 mix tail the output
             # is fp32, and feeding it straight back would compile (and time)
@@ -188,7 +192,8 @@ def main():
                      else f"/{args.precision}")
                   + ("" if args.tail == "none"
                      else f"+fp32mix:{args.tail}")
-                  + ("+packed" if args.packed else "")),
+                  + ("+packed" if args.packed else "")
+                  + ("+donate" if args.donate else "")),
         "device": str(jax.devices()[0]),
     }))
 
