@@ -284,7 +284,8 @@ class Stylization:
                     flush()
             flush()
 
-            if on_device and not feats_dev:
+            empty = not feats_dev if on_device else spill._shape is None
+            if empty:
                 raise ValueError("prepare_global got no frames")
             if on_device:
                 feats = (feats_dev[0] if len(feats_dev) == 1

@@ -52,9 +52,22 @@ def _train_export(args):
     d_params = None
     netd = args.netd
     if netd is None:
-        cands = sorted(glob.glob(os.path.join(
-            os.path.dirname(args.src) or ".", "netD-step*.msgpack")))
-        netd = cands[-1] if cands else None
+        # Auto-discovery must pair D with THIS generator checkpoint's step:
+        # the pruner keeps several netD-step* files, and exporting the
+        # newest D with an older G would hand torch a mismatched GAN pair.
+        src_dir = os.path.dirname(args.src) or "."
+        if m is not None:
+            exact = os.path.join(src_dir,
+                                 f"netD-step{int(m.group(1)):08d}.msgpack")
+            netd = exact if os.path.exists(exact) else None
+        if netd is None:
+            cands = sorted(glob.glob(os.path.join(src_dir,
+                                                  "netD-step*.msgpack")))
+            netd = cands[-1] if cands else None
+            if netd is not None and m is not None:
+                print(f"warning: no netD checkpoint at step "
+                      f"{int(m.group(1))}; exporting newest ({netd}) — "
+                      "G/D steps will not match", flush=True)
     if netd is not None:
         d_blob = load_params(netd)
         d_params = d_blob.get("params", d_blob)

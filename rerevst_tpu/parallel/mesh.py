@@ -77,6 +77,33 @@ def local_batch_to_global(mesh: Mesh, x, axis_name: str = DATA_AXIS):
     return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
 
+def lift_local(mesh: Mesh, x, *, pad: bool = False, what: str = "batch"):
+    """The multi-host input lift, in one place: this process's LOCAL
+    batch-axis array -> the GLOBAL batch-sharded array for `mesh`.
+
+    Call when ``mesh_process_count(mesh) > 1``.  Cross-host padding would
+    need eager ops on non-addressable arrays, so padding happens LOCALLY to
+    this process's device multiple:
+
+    - ``pad=True``: pad (repeating the last slice) and return
+      ``(x_global, mask_global)`` — the mask keeps pad rows out of every
+      downstream reduction (inference statistics).
+    - ``pad=False``: return ``x_global``, raising ValueError on a
+      non-divisible local batch (training, where silent padding would bias
+      the pmean'd gradients).
+    """
+    per = local_device_count_in(mesh)
+    if pad:
+        x, mask = pad_to_multiple(x, per, axis=0)
+        return (local_batch_to_global(mesh, x),
+                local_batch_to_global(mesh, mask))
+    if x.shape[0] % per:
+        raise ValueError(
+            f"multi-host {what} must be divisible by this process's "
+            f"{per} mesh devices; got {x.shape[0]}")
+    return local_batch_to_global(mesh, x)
+
+
 def sharded_batch(mesh: Mesh) -> NamedSharding:
     """Leading (frame/batch) axis split across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

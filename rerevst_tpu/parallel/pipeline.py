@@ -43,23 +43,15 @@ def stylize_frames_sharded(params, frames, style: StyleFeatures,
     operands already laid out correctly, so repeated calls only move the new
     frame batch.
     """
-    from rerevst_tpu.parallel.mesh import (
-        local_batch_to_global,
-        local_device_count_in,
-        mesh_process_count,
-    )
+    from rerevst_tpu.parallel.mesh import lift_local, mesh_process_count
 
     if mesh_process_count(mesh) > 1:
-        # Multi-host: `frames` is this process's LOCAL shard.  Each process
-        # must feed a local-device multiple (cross-host padding would need
-        # eager ops on non-addressable arrays); the jitted program follows
-        # the global array's batch sharding, params/style/stats replicate.
-        per = local_device_count_in(mesh)
-        if frames.shape[0] % per:
-            raise ValueError(
-                f"multi-host Pass 2 needs a local batch divisible by this "
-                f"process's {per} mesh devices; got {frames.shape[0]}")
-        frames_g = local_batch_to_global(mesh, frames)
+        # Multi-host: `frames` is this process's LOCAL shard; each process
+        # must feed a local-device multiple (lift_local raises otherwise —
+        # padding styled OUTPUT frames, unlike statistics, can't be masked
+        # away).  The jitted program follows the global array's batch
+        # sharding, params/style/stats replicate.
+        frames_g = lift_local(mesh, frames, what="Pass 2 frame batch")
         # Returns the GLOBAL batch-sharded array; read your process's part
         # via .addressable_shards (fetching the whole array cross-host is
         # exactly the transfer this layout avoids).

@@ -48,22 +48,13 @@ def collect_stats_sharded(params_dec, feats, style: StyleFeatures,
         out_specs=P(),
         check_vma=False,
     )
-    from rerevst_tpu.parallel.mesh import (
-        local_batch_to_global,
-        local_device_count_in,
-        mesh_process_count,
-    )
+    from rerevst_tpu.parallel.mesh import lift_local, mesh_process_count
 
     if mesh_process_count(mesh) > 1:
-        # Multi-host: `feats` is this process's LOCAL shard.  Pad LOCALLY to
-        # the per-process device multiple (eager ops on non-addressable
-        # global arrays are illegal), lift both to one global array, and run
-        # jitted so execution is a single SPMD program; the mask keeps the
-        # padding out of every reduction, as in the single-host path.
-        per = local_device_count_in(mesh)
-        feats_l, mask_l = pad_to_multiple(feats, per, axis=0)
-        feats_g = local_batch_to_global(mesh, feats_l)
-        mask_g = local_batch_to_global(mesh, mask_l)
+        # Multi-host: `feats` is this process's LOCAL shard; lift_local
+        # pads it locally and masks the padding out of every reduction.
+        # Run jitted so execution is a single SPMD program.
+        feats_g, mask_g = lift_local(mesh, feats, pad=True)
         return jax.jit(fn)(params_dec, feats_g, mask_g, style)
 
     feats, mask = pad_to_multiple(feats, ndev, axis=0)

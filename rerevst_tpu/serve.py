@@ -171,24 +171,58 @@ class StylizeService:
     # Chunked clip sessions (clips beyond the request-body cap)
     # ------------------------------------------------------------------
 
+    #: Abandoned-session bounds: a client that opens a clip and crashes
+    #: before /close would otherwise leak its PNG spool directory and dict
+    #: entry for the server's lifetime.  Idle sessions past the TTL are
+    #: pruned on the next /clip/open; the cap bounds concurrent spools.
+    CLIP_TTL_S = 3600.0
+    MAX_OPEN_CLIPS = 32
+
+    def _prune_clips(self) -> None:
+        import shutil
+        import time
+
+        now = time.monotonic()
+        with self.lock:
+            stale = [t for t, c in self.clips.items()
+                     if now - c["ts"] > self.CLIP_TTL_S]
+            dead = [self.clips.pop(t) for t in stale]
+        for clip in dead:
+            shutil.rmtree(clip["dir"], ignore_errors=True)
+
     def clip_open(self, interval: int) -> str:
         import tempfile
+        import time
         import uuid
 
         if self.session.style is None:
             raise RuntimeError("set a style first (POST /style)")
+        self._prune_clips()
         token = uuid.uuid4().hex[:16]
         with self.lock:
+            if len(self.clips) >= self.MAX_OPEN_CLIPS:
+                raise RuntimeError(
+                    f"too many open clip sessions ({self.MAX_OPEN_CLIPS}); "
+                    "close or abandon some first")
             self.clips[token] = {
                 "dir": tempfile.mkdtemp(prefix=f"rerevst_clip_{token}_"),
                 "interval": interval, "n": 0, "done": 0, "shape": None,
+                # Per-clip lock: /clip/<t>/frames chunks may arrive on
+                # concurrent handler threads; n/shape/done and the spool
+                # files must mutate atomically per clip (the global
+                # svc.lock stays reserved for the device session).
+                "lock": threading.Lock(), "ts": time.monotonic(),
             }
         return token
 
     def _clip(self, token: str):
-        clip = self.clips.get(token)
+        import time
+
+        with self.lock:
+            clip = self.clips.get(token)
         if clip is None:
             raise RuntimeError(f"unknown clip token {token!r}")
+        clip["ts"] = time.monotonic()
         return clip
 
     def clip_frames(self, token: str, frames, max_frames: int) -> int:
@@ -199,26 +233,28 @@ class StylizeService:
         import cv2
 
         clip = self._clip(token)
-        if clip["done"]:
-            raise RuntimeError("clip already finished")
-        if clip["n"] + len(frames) > max_frames:
-            raise ValueError(
-                f"clip too long: {clip['n'] + len(frames)} frames > cap "
-                f"{max_frames}")
-        for f in frames:
-            if f.ndim != 3 or f.shape[2] != 3 or f.dtype != np.uint8:
+        with clip["lock"]:
+            if clip["done"]:
+                raise RuntimeError("clip already finished")
+            if clip["n"] + len(frames) > max_frames:
                 raise ValueError(
-                    f"expected uint8 HxWx3 frames, got {f.dtype} {f.shape}")
-            if clip["shape"] is None:
-                clip["shape"] = f.shape
-            elif f.shape != clip["shape"]:
-                raise ValueError(
-                    f"frame shape {f.shape} != first frame {clip['shape']} "
-                    f"(geometry is fixed per clip)")
-            cv2.imwrite(os.path.join(clip["dir"],
-                                     f"frame_{clip['n']:06d}.png"), f)
-            clip["n"] += 1
-        return clip["n"]
+                    f"clip too long: {clip['n'] + len(frames)} frames > cap "
+                    f"{max_frames}")
+            for f in frames:
+                if f.ndim != 3 or f.shape[2] != 3 or f.dtype != np.uint8:
+                    raise ValueError(
+                        f"expected uint8 HxWx3 frames, got "
+                        f"{f.dtype} {f.shape}")
+                if clip["shape"] is None:
+                    clip["shape"] = f.shape
+                elif f.shape != clip["shape"]:
+                    raise ValueError(
+                        f"frame shape {f.shape} != first frame "
+                        f"{clip['shape']} (geometry is fixed per clip)")
+                cv2.imwrite(os.path.join(clip["dir"],
+                                         f"frame_{clip['n']:06d}.png"), f)
+                clip["n"] += 1
+            return clip["n"]
 
     def clip_finish(self, token: str) -> int:
         """Run the constant-memory two-pass pipeline over the spooled clip;
@@ -231,24 +267,25 @@ class StylizeService:
         from rerevst_tpu.data.source import PathsSource
 
         clip = self._clip(token)
-        if clip["n"] == 0:
-            raise ValueError("empty clip")
-        if clip["done"]:
+        with clip["lock"]:
+            if clip["n"] == 0:
+                raise ValueError("empty clip")
+            if clip["done"]:
+                return clip["n"]
+            paths = [os.path.join(clip["dir"], f"frame_{i:06d}.png")
+                     for i in range(clip["n"])]
+            with self.lock:
+                self.session.infer = InferenceConfig(
+                    sample_interval=clip["interval"],
+                    use_global=self.session.use_global,
+                    batch_size=min(clip["n"], 8))
+                self.session.clean()
+                for i, styled in enumerate(
+                        self.session.stylize_video(PathsSource(paths))):
+                    cv2.imwrite(os.path.join(clip["dir"],
+                                             f"res_{i:06d}.png"), styled)
+            clip["done"] = 1
             return clip["n"]
-        paths = [os.path.join(clip["dir"], f"frame_{i:06d}.png")
-                 for i in range(clip["n"])]
-        with self.lock:
-            self.session.infer = InferenceConfig(
-                sample_interval=clip["interval"],
-                use_global=self.session.use_global,
-                batch_size=min(clip["n"], 8))
-            self.session.clean()
-            for i, styled in enumerate(
-                    self.session.stylize_video(PathsSource(paths))):
-                cv2.imwrite(os.path.join(clip["dir"],
-                                         f"res_{i:06d}.png"), styled)
-        clip["done"] = 1
-        return clip["n"]
 
     def clip_result(self, token: str, start: int, count: int):
         import os
@@ -256,25 +293,30 @@ class StylizeService:
         import cv2
 
         clip = self._clip(token)
-        if not clip["done"]:
-            raise RuntimeError("clip not finished (POST /clip/<t>/finish)")
-        if start < 0 or count < 1 or start >= clip["n"]:
-            raise ValueError(f"bad range [{start}, {start + count}) of "
-                             f"{clip['n']} frames")
-        out = []
-        for i in range(start, min(start + count, clip["n"])):
-            img = cv2.imread(os.path.join(clip["dir"], f"res_{i:06d}.png"))
-            if img is None:
-                raise RuntimeError(f"result frame {i} missing")
-            out.append(img)
-        return out
+        with clip["lock"]:
+            if not clip["done"]:
+                raise RuntimeError(
+                    "clip not finished (POST /clip/<t>/finish)")
+            if start < 0 or count < 1 or start >= clip["n"]:
+                raise ValueError(f"bad range [{start}, {start + count}) of "
+                                 f"{clip['n']} frames")
+            out = []
+            for i in range(start, min(start + count, clip["n"])):
+                img = cv2.imread(
+                    os.path.join(clip["dir"], f"res_{i:06d}.png"))
+                if img is None:
+                    raise RuntimeError(f"result frame {i} missing")
+                out.append(img)
+            return out
 
     def clip_close(self, token: str) -> None:
         import shutil
 
-        clip = self.clips.pop(token, None)
+        with self.lock:
+            clip = self.clips.pop(token, None)
         if clip is not None:
-            shutil.rmtree(clip["dir"], ignore_errors=True)
+            with clip["lock"]:
+                shutil.rmtree(clip["dir"], ignore_errors=True)
 
     def video(self, frames, interval: int, max_frames: int):
         from rerevst_tpu.config import InferenceConfig
@@ -360,11 +402,7 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                     outs = svc.clip_result(parts[1],
                                            int(qs.get("start", "0")),
                                            int(qs.get("count", "64")))
-                    bio = io.BytesIO()
-                    np.savez_compressed(
-                        bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
-                    return self._reply(200, bio.getvalue(),
-                                       "application/octet-stream")
+                    return self._npz_reply(outs)
                 return self._error(404, "NotFound", path)
             except ValueError as e:
                 return self._error(400, type(e).__name__, str(e))
@@ -373,6 +411,23 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
             except Exception as e:  # noqa: BLE001 — service boundary
                 traceback.print_exc(file=sys.stderr)
                 return self._error(500, type(e).__name__, str(e))
+
+        def _npz(self):
+            """Decode the request body as .npz → {name: array}, sorted."""
+            try:
+                with np.load(io.BytesIO(self._body())) as z:
+                    return {k: z[k] for k in sorted(z.files)}
+            except _HttpError:
+                raise
+            except Exception as e:
+                raise ValueError(f"undecodable .npz body: {e}")
+
+        def _npz_reply(self, outs):
+            bio = io.BytesIO()
+            np.savez_compressed(
+                bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
+            return self._reply(200, bio.getvalue(),
+                               "application/octet-stream")
 
         def do_POST(self):
             try:
@@ -390,46 +445,23 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                     out = svc.stylize(_imdecode(self._body()))
                     return self._reply(200, _imencode(out), "image/png")
                 if path == "/styles":
-                    try:
-                        with np.load(io.BytesIO(self._body())) as z:
-                            styles = [z[k] for k in sorted(z.files)]
-                    except _HttpError:
-                        raise
-                    except Exception as e:
-                        raise ValueError(f"undecodable .npz body: {e}")
+                    styles = list(self._npz().values())
                     svc.set_styles(styles)
                     return self._reply(200, {"ok": True,
                                              "styles": len(styles)})
                 if path == "/interpolate":
-                    try:
-                        with np.load(io.BytesIO(self._body())) as z:
-                            weights = (z["weights"] if "weights" in z.files
-                                       else None)
-                            frames = [z[k] for k in sorted(z.files)
-                                      if k != "weights"]
-                    except _HttpError:
-                        raise
-                    except Exception as e:
-                        raise ValueError(f"undecodable .npz body: {e}")
-                    outs = svc.interpolate(frames, weights, max_frames)
-                    bio = io.BytesIO()
-                    np.savez_compressed(
-                        bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
-                    return self._reply(200, bio.getvalue(),
-                                       "application/octet-stream")
+                    arrays = self._npz()
+                    weights = arrays.pop("weights", None)
+                    outs = svc.interpolate(list(arrays.values()), weights,
+                                           max_frames)
+                    return self._npz_reply(outs)
                 parts = path.strip("/").split("/")
                 if parts[0] == "clip":
                     if len(parts) == 2 and parts[1] == "open":
                         token = svc.clip_open(int(qs.get("interval", "8")))
                         return self._reply(200, {"clip": token})
                     if len(parts) == 3 and parts[2] == "frames":
-                        try:
-                            with np.load(io.BytesIO(self._body())) as z:
-                                frames = [z[k] for k in sorted(z.files)]
-                        except _HttpError:
-                            raise
-                        except Exception as e:
-                            raise ValueError(f"undecodable .npz body: {e}")
+                        frames = list(self._npz().values())
                         n = svc.clip_frames(parts[1], frames, max_frames)
                         return self._reply(200, {"received": n})
                     if len(parts) == 3 and parts[2] == "finish":
@@ -441,20 +473,10 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                         svc.clip_close(parts[1])
                         return self._reply(200, {"ok": True})
                 if path == "/video":
-                    try:
-                        with np.load(io.BytesIO(self._body())) as z:
-                            frames = [z[k] for k in sorted(z.files)]
-                    except _HttpError:
-                        raise
-                    except Exception as e:
-                        raise ValueError(f"undecodable .npz body: {e}")
+                    frames = list(self._npz().values())
                     outs = svc.video(frames, int(qs.get("interval", "8")),
                                      max_frames)
-                    bio = io.BytesIO()
-                    np.savez_compressed(
-                        bio, **{f"f{i:05d}": o for i, o in enumerate(outs)})
-                    return self._reply(200, bio.getvalue(),
-                                       "application/octet-stream")
+                    return self._npz_reply(outs)
                 return self._error(404, "NotFound", path)
             except _HttpError as e:
                 return self._error(e.code, "HttpError", e.message)

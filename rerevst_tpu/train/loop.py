@@ -254,9 +254,38 @@ def train(cfg: TrainConfig, params: Optional[Dict] = None,
                                            state.opt_state)
                 state = TrainState(p, o, jnp.asarray(start_step, jnp.int32))
                 print(f"resumed from {path} @ step {start_step}", flush=True)
+            if jax.process_count() > 1:
+                # Checkpoint saving is chief-only: if out_dir is not a
+                # shared filesystem, non-chief processes find no checkpoint
+                # and would silently start from the seed init while the
+                # chief resumes at step N — every subsequent pmean then
+                # averages gradients from divergent parameter sets.  Verify
+                # all processes restored the same step and byte-identical
+                # parameters (same file => identical fingerprint).
+                from jax.experimental import multihost_utils
+
+                fp = float(sum(
+                    jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                    for l in jax.tree.leaves(state.params)))
+                views = multihost_utils.process_allgather(
+                    np.asarray([float(start_step), fp], np.float64))
+                if not (views == views[0]).all():
+                    raise RuntimeError(
+                        "--continue_training resumed divergent states "
+                        f"across processes (step/fingerprint rows per "
+                        f"process:\n{views}\n). out_dir must be a shared "
+                        "filesystem visible to every process.")
 
     d_state = None
     if cfg.loss.adversarial_loss:
+        if cfg.data_parallel > 1 or jax.process_count() > 1:
+            # The branch ordering below would otherwise silently run the
+            # adversarial step single-device while each process trains an
+            # independent model on its own shard — fail loudly instead,
+            # like the MPI/video combination does.
+            raise NotImplementedError(
+                "adversarial_loss is single-device only; drop "
+                "--data_parallel / multi-process flags or the GAN loss")
         # LSGAN alternating D/G update (``train/train.py:275-287,320-415``).
         from rerevst_tpu.models.discriminator import init_discriminator_params
         from rerevst_tpu.train.step import make_adversarial_train_step

@@ -296,7 +296,7 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
     ))
     n_shards = int(mesh.devices.size)
     from rerevst_tpu.parallel.mesh import (
-        local_batch_to_global,
+        lift_local,
         local_device_count_in,
         mesh_process_count,
     )
@@ -319,8 +319,8 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
                 f"content batch {content.shape[0]}, style batch "
                 f"{style.shape[0]}. Pick batch_size = k * {n_local}.")
         if multihost:
-            content = local_batch_to_global(mesh, content)
-            style = local_batch_to_global(mesh, style)
+            content = lift_local(mesh, content, what="content batch")
+            style = lift_local(mesh, style, what="style batch")
         return fn(state, content, style, key)
 
     return step

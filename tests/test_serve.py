@@ -290,3 +290,80 @@ def test_stylize_before_style_is_409(tmp_path, clip):
         assert json.loads(body)["error"]["type"] == "RuntimeError"
     finally:
         server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def spool_service(tmp_path_factory):
+    """A StylizeService for spool-layer unit tests (no device work: the
+    style slot is stubbed so clip_open passes its protocol check and
+    clip_finish is never called)."""
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import StylizeService
+
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    ckpt = str(tmp_path_factory.mktemp("spool") / "m.msgpack")
+    save_params(ckpt, params)
+    svc = StylizeService(ckpt, dtype="f32")
+    svc.session.style = object()  # satisfy clip_open's has-style check
+    return svc
+
+
+def test_concurrent_clip_frames_lose_no_frames(spool_service):
+    """/clip/<t>/frames chunks arriving on concurrent handler threads must
+    serialize per clip: every frame lands, n is exact, no file overwritten."""
+    import os
+
+    svc = spool_service
+    token = svc.clip_open(interval=8)
+    frame = np.full((8, 8, 3), 7, np.uint8)
+    n_threads, chunks, per_chunk = 8, 4, 2
+    errs = []
+
+    def upload():
+        try:
+            for _ in range(chunks):
+                svc.clip_frames(token, [frame] * per_chunk, max_frames=1024)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=upload) for _ in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    total = n_threads * chunks * per_chunk
+    clip = svc._clip(token)
+    assert clip["n"] == total
+    names = {f"frame_{i:06d}.png" for i in range(total)}
+    assert names <= set(os.listdir(clip["dir"]))
+    svc.clip_close(token)
+    assert not os.path.exists(clip["dir"])
+
+
+def test_abandoned_clip_sessions_are_pruned(spool_service):
+    """Idle sessions past the TTL are swept on the next /clip/open; the
+    open-session cap rejects loudly instead of spooling unboundedly."""
+    import os
+
+    svc = spool_service
+    stale_tok = svc.clip_open(interval=8)
+    stale_dir = svc._clip(stale_tok)["dir"]
+    assert os.path.isdir(stale_dir)
+    svc.clips[stale_tok]["ts"] -= svc.CLIP_TTL_S + 1  # age it out
+    fresh_tok = svc.clip_open(interval=8)
+    assert stale_tok not in svc.clips
+    assert not os.path.exists(stale_dir)
+
+    svc.MAX_OPEN_CLIPS = len(svc.clips)  # instance override for the test
+    try:
+        with pytest.raises(RuntimeError, match="too many open clip"):
+            svc.clip_open(interval=8)
+    finally:
+        del svc.MAX_OPEN_CLIPS
+        svc.clip_close(fresh_tok)

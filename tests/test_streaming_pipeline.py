@@ -175,6 +175,19 @@ class TestChunkedPass1:
         np.testing.assert_allclose(got.astype(np.int16),
                                    ref_out.astype(np.int16), atol=1)
 
+    def test_empty_input_raises_value_error(self, fixture_frames):
+        """Both Pass-1 paths reject an empty frame stream with the same
+        clean ValueError — including the unsized-iterator spill path, which
+        used to die on the spill's unset shape instead."""
+        _, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        with pytest.raises(ValueError, match="no frames"):
+            s.prepare_global([])            # sized -> on-device path
+        with pytest.raises(ValueError, match="no frames"):
+            s.prepare_global(iter([]))      # unsized -> spill path
+
     def test_iterator_input_without_total(self, fixture_frames):
         """An unsized generator is legal Pass-1 input (spills by default)."""
         frames, style = fixture_frames

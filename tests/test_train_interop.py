@@ -192,3 +192,43 @@ def test_convert_cli_train_modes(train_state_with_moments, tmp_path):
                   "--netd", str(torch_dir / "netD-epoch-7.pth")])
     assert glob.glob(str(native2 / "ckpt-step*.msgpack"))
     assert glob.glob(str(native2 / "netD-step*.msgpack"))
+
+
+def test_train_export_pairs_netd_with_generator_step(train_state_with_moments,
+                                                     tmp_path):
+    """--train-export must pair D at the SAME step as the G checkpoint,
+    not whatever netD-step* file is newest in the directory."""
+    import optax
+    import torch
+
+    from rerevst_tpu.convert import main as convert_main
+    from rerevst_tpu.io.checkpoint import save_train_state
+    from rerevst_tpu.train.loop import _save_d_state
+    from rerevst_tpu.train.state import TrainState
+
+    cfg, params, opt_state = train_state_with_moments
+    native = tmp_path / "native"
+    native.mkdir()
+    ck7 = save_train_state(str(native), 7, params, opt_state)
+    save_train_state(str(native), 9, params, opt_state)
+    d7 = init_discriminator_params(jax.random.PRNGKey(3))
+    d9 = jax.tree.map(lambda a: a * 2.0, d7)
+    d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    for step, dp in ((7, d7), (9, d9)):
+        _save_d_state(str(native),
+                      TrainState(dp, d_opt.init(dp),
+                                 jnp.asarray(step, jnp.int32)))
+
+    torch_dir = tmp_path / "torch"
+    convert_main([ck7, str(torch_dir), "--train-export"])
+    sd = torch.load(str(torch_dir / "netD-epoch-7.pth"),
+                    map_location="cpu", weights_only=True)
+    # Skip the synthesized BatchNorm running stats (running_var is ones —
+    # exactly +896 over the jax tree, which carries none).
+    got = sum(float(v.abs().sum()) for k, v in sd.items()
+              if not k.endswith(("running_mean", "running_var",
+                                 "num_batches_tracked")))
+    want = sum(float(np.abs(np.asarray(l)).sum())
+               for l in jax.tree.leaves(d7))
+    # Whole-tree magnitude matches D@7 (D@9 is exactly 2x everywhere).
+    assert abs(got - want) < 1e-3 * want

@@ -165,3 +165,18 @@ def test_validation_writes_combined_grid(tiny_world):
     n_pairs = len(glob.glob(os.path.join(cfg.val_dir, "content", "*.jpg")))
     # result|content|style stacked vertically, pairs side by side.
     assert img.shape[1] == img.shape[0] // 3 * n_pairs
+
+
+def test_adversarial_plus_data_parallel_fails_loudly(tiny_world):
+    """GAN training is single-device; combining it with --data_parallel must
+    raise instead of silently running each process's model un-pmean'd."""
+    import dataclasses
+
+    from rerevst_tpu.train.loop import train
+
+    cfg = _cfg(tiny_world)
+    cfg = dataclasses.replace(
+        cfg, data_parallel=2,
+        loss=dataclasses.replace(cfg.loss, adversarial_loss=True))
+    with pytest.raises(NotImplementedError, match="adversarial"):
+        train(cfg, max_steps=1)
