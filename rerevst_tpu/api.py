@@ -292,7 +292,7 @@ class Stylization:
                          else jnp.concatenate(feats_dev, axis=0))
             else:
                 feats = spill.memmap()
-            if self.mesh is not None:
+            if self.mesh is not None and on_device:
                 from rerevst_tpu.parallel import collect_stats_sharded
 
                 self.pass1_mode = "sharded"
@@ -303,14 +303,20 @@ class Stylization:
                 self.pass1_mode = "batched"
                 self.stats = self._collect(self.params, feats, self.style)
             else:
+                # Spilled features: stream chunks through the collector —
+                # with a mesh, each chunk's reductions additionally shard
+                # over the devices (constant-memory AND multi-chip; the
+                # all-on-device sharded path above would materialize the
+                # whole memmap back onto the mesh).
                 from rerevst_tpu.parallel.streaming import (
                     collect_stats_streaming,
                 )
 
-                self.pass1_mode = "streaming-spill"
+                self.pass1_mode = ("streaming-spill" if self.mesh is None
+                                   else "streaming-spill-sharded")
                 self.stats = collect_stats_streaming(
                     self.params["decoder"], feats, self.style, self.cfg,
-                    chunk_size=chunk_n)
+                    chunk_size=chunk_n, mesh=self.mesh)
         finally:
             if spill is not None:
                 spill.close()

@@ -140,13 +140,59 @@ class _Welford:
         return NormStats(_c(mean), _c(rstd), _c(xmin), _c(xmax))
 
 
+class _ChunkFeed:
+    """Lazy chunk iterator over a host feature array / memmap.
+
+    Slices are materialized one chunk at a time at iteration (a memmap
+    backing stays on disk between stages — the earlier eager list held the
+    ENTIRE feature set in host RAM, defeating the spill for long clips).
+    With a mesh, each chunk is padded to the device multiple and uploaded
+    batch-sharded, so the per-chunk reductions run as one SPMD program;
+    the mask keeps pad rows out of every reduction.
+    """
+
+    def __init__(self, feats_host, chunk_size: int, mesh=None):
+        self.feats = feats_host
+        self.n = feats_host.shape[0]
+        self.mesh = mesh
+        if mesh is not None:
+            from rerevst_tpu.parallel.mesh import sharded_batch
+
+            ndev = mesh.devices.size
+            self.chunk = max(chunk_size, ndev)
+            self.sharding = sharded_batch(mesh)
+        else:
+            self.chunk = chunk_size
+            self.sharding = None
+
+    def __iter__(self):
+        for i in range(0, self.n, self.chunk):
+            ch = np.asarray(self.feats[i : i + self.chunk])
+            mask = np.ones((ch.shape[0],), np.float32)
+            if self.mesh is not None:
+                ndev = self.mesh.devices.size
+                pad = (-ch.shape[0]) % ndev
+                if pad:
+                    ch = np.concatenate([ch, np.repeat(ch[-1:], pad, 0)])
+                    mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+                yield (jax.device_put(jnp.asarray(ch), self.sharding),
+                       jax.device_put(jnp.asarray(mask), self.sharding))
+            else:
+                yield jnp.asarray(ch), jnp.asarray(mask)
+
+
 def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
-                            cfg: ModelConfig, chunk_size: int = 4) -> SeqStats:
+                            cfg: ModelConfig, chunk_size: int = 4,
+                            mesh=None) -> SeqStats:
     """collect_stats over `feats_host` [N, h, w, 512] (host array / memmap)
-    with O(chunk_size) device memory."""
-    n = feats_host.shape[0]
-    chunks = [np.asarray(feats_host[i : i + chunk_size])
-              for i in range(0, n, chunk_size)]
+    with O(chunk_size) device memory.
+
+    `mesh`: optionally shard each chunk's batch axis over a device mesh —
+    the constant-memory and multi-chip Pass-1 modes compose (each chunk's
+    moment/extrema/pool reductions become psum/pmin/pmax over ICI; the
+    host-side Welford merge across chunks is unchanged).
+    """
+    feed = _ChunkFeed(feats_host, chunk_size, mesh)
     norms: Dict[str, NormStats] = {}
     filters: Dict[str, jnp.ndarray] = {}
     prec = precision_for(cfg.dtype, cfg.precision)
@@ -155,16 +201,31 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
     m4, s4 = style.means[3], style.stds[3]
     ns = (style.map - m4) / s4
 
+    masked = mesh is not None  # pad rows exist only on the sharded feed
+
     def chunk_moments(upto):
         @jax.jit
-        def f(x):
+        def f(x, mask):
             t = _prefix_to(params_dec, x, style, norms, filters, cfg, upto)
             tf = t.astype(jnp.float32)
-            cnt = float(np.prod(t.shape[:3]))
-            mean = jnp.mean(tf, (0, 1, 2))
-            m2 = jnp.sum(jnp.square(tf - mean), (0, 1, 2))
-            return (mean, m2, jnp.min(tf, (0, 1, 2)), jnp.max(tf, (0, 1, 2)),
-                    jnp.asarray(cnt))
+            if not masked:
+                cnt = jnp.asarray(float(np.prod(t.shape[:3])))
+                mean = jnp.mean(tf, (0, 1, 2))
+                m2 = jnp.sum(jnp.square(tf - mean), (0, 1, 2))
+                return (mean, m2, jnp.min(tf, (0, 1, 2)),
+                        jnp.max(tf, (0, 1, 2)), cnt)
+            # Mask via where, not multiply: values can overflow to inf at
+            # f32 (random-init tests hit 1e28 activations, inf on square)
+            # and inf * 0.0 on a pad row would poison the sum with NaN —
+            # where() keeps pad contributions exactly zero regardless.
+            m = mask.reshape(-1, 1, 1, 1) > 0
+            cnt = jnp.sum(mask) * (t.shape[1] * t.shape[2])
+            mean = jnp.sum(jnp.where(m, tf, 0.0), (0, 1, 2)) / cnt
+            m2 = jnp.sum(jnp.where(m, jnp.square(tf - mean), 0.0), (0, 1, 2))
+            return (mean, m2,
+                    jnp.min(jnp.where(m, tf, jnp.inf), (0, 1, 2)),
+                    jnp.max(jnp.where(m, tf, -jnp.inf), (0, 1, 2)),
+                    cnt)
         return f
 
     for stage in STAGES:
@@ -173,7 +234,7 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
             ic = cfg.filter_channels
             for sub, pk in (("a", "p1"), ("b", "p2")):
                 fprm = params_dec[f"filter{i}"][pk]
-                pc = _pool_pred(fprm, chunks, params_dec, style, norms,
+                pc = _pool_pred(fprm, feed, params_dec, style, norms,
                                 filters, cfg, stage)
                 ps = jnp.mean(conv2d(fprm["down"], ns, padding=1,
                                      precision=prec), (1, 2))
@@ -183,9 +244,9 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
         else:
             fn = chunk_moments(stage)
             wf = None
-            for ch in chunks:
+            for ch, mask in feed:
                 mean, m2, mn, mx, cnt = [np.asarray(v)
-                                         for v in fn(jnp.asarray(ch))]
+                                         for v in fn(ch, mask)]
                 if wf is None:
                     wf = _Welford(mean.shape[0])
                 wf.update(float(cnt), mean, m2, mn, mx)
@@ -194,20 +255,23 @@ def collect_stats_streaming(params_dec: Dict, feats_host, style: StyleFeatures,
     return SeqStats(norms, filters)
 
 
-def _pool_pred(fprm, chunks, params_dec, style, norms, filters, cfg, stage):
+def _pool_pred(fprm, feed, params_dec, style, norms, filters, cfg, stage):
     """Pooled predictor-content vector for one FilterPredictor: mean over all
     frames of the spatial mean of its own down conv."""
     prec = precision_for(cfg.dtype, cfg.precision)
 
     @jax.jit
-    def f(x):
+    def f(x, mask):
         h = _prefix_to(params_dec, x, style, norms, filters, cfg, stage)
         pc = jnp.mean(conv2d(fprm["down"], h, padding=1, precision=prec),
                       (1, 2))
-        return jnp.sum(pc, axis=0)
+        # where, not multiply: see chunk_moments (inf * 0 pad -> NaN).
+        return (jnp.sum(jnp.where(mask[:, None] > 0, pc, 0.0), axis=0),
+                jnp.sum(mask))
 
     acc, cnt = 0.0, 0.0
-    for ch in chunks:
-        acc = acc + np.asarray(f(jnp.asarray(ch)), dtype=np.float64)
-        cnt += ch.shape[0]
+    for ch, mask in feed:
+        s, c = f(ch, mask)
+        acc = acc + np.asarray(s, dtype=np.float64)
+        cnt += float(c)
     return jnp.asarray((acc / cnt)[None], jnp.float32)

@@ -102,6 +102,26 @@ def test_streaming_collect_matches_batched(setup):
             err_msg=jtu.keystr(pa))
 
 
+def test_sharded_streaming_collect_matches_batched(setup):
+    """Streaming collection with per-chunk reductions SHARDED over the mesh
+    (constant-memory + multi-chip composed) == batched collection.  5 frames
+    through one 8-padded chunk also exercises the pad-mask path."""
+    from rerevst_tpu.parallel.streaming import collect_stats_streaming
+
+    params, sf, feats, _ = setup
+    batched = collect_stats(params["decoder"], feats, sf, CFG)
+    streamed = collect_stats_streaming(params["decoder"], np.asarray(feats),
+                                       sf, CFG, chunk_size=2,
+                                       mesh=frame_mesh(8))
+    import jax.tree_util as jtu
+
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(batched),
+                               jtu.tree_leaves_with_path(streamed)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=jtu.keystr(pa))
+
+
 # --- sharded train step (train/step.py:make_sharded_train_step) ------------
 
 from rerevst_tpu.config import LossConfig, TrainConfig  # noqa: E402

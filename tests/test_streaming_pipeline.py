@@ -175,6 +175,29 @@ class TestChunkedPass1:
         np.testing.assert_allclose(got.astype(np.int16),
                                    ref_out.astype(np.int16), atol=1)
 
+    def test_sharded_spill_engages_on_mesh_session(self, fixture_frames,
+                                                   monkeypatch):
+        """Constant-memory and multi-chip Pass 1 compose: above the
+        threshold a mesh session streams spilled chunks through SHARDED
+        per-chunk reductions instead of materializing the memmap on device.
+        Exact sharded-streaming == batched numerics are pinned on healthy
+        synthetic features in test_parallel.py (this fixture's random-init
+        activations reach 1e28, where cross-ordering comparison measures fp
+        chaos — see CLAUDE.md); here we assert engagement + sane output."""
+        from rerevst_tpu.parallel import frame_mesh
+
+        frames, style = fixture_frames
+        monkeypatch.setattr(Stylization, "STREAMING_THRESHOLD", 2)
+        s2 = Stylization(params=_params(), cfg=CFG, use_global=True,
+                         infer=INFER, mesh=frame_mesh(8))
+        s2.prepare_style(style)
+        s2.prepare_global(frames)
+        assert s2.pass1_mode == "streaming-spill-sharded"
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(s2.stats))
+        got = s2.transfer(frames[1])
+        assert got.shape == frames[1].shape and got.dtype == np.uint8
+
     def test_empty_input_raises_value_error(self, fixture_frames):
         """Both Pass-1 paths reject an empty frame stream with the same
         clean ValueError — including the unsized-iterator spill path, which
