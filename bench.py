@@ -80,14 +80,16 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "multistyle", "1080p",
-                             "parity"],
+                             "latency", "parity"],
                     help="infer: 512p hot loop (headline); train: full train "
                          "step; multistyle: 2-style blended decode; 1080p: "
-                         "1080p inference; parity: bf16-vs-fp32 pixel error "
+                         "1080p inference; latency: batch-1 512p single-"
+                         "frame latency (the live-serving operating point); "
+                         "parity: bf16-vs-fp32 pixel error "
                          "on the real ambush_4 fixture (handled above)")
     args = ap.parse_args()
     if args.batch is None:
-        args.batch = 8 if args.mode == "1080p" else 32
+        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 32)
     if args.mode == "1080p":
         args.size = 1080
     if args.mode == "train":
@@ -179,7 +181,8 @@ def main():
     fps = 1.0 / best
     metric = {"infer": "frames_per_sec_512p",
               "multistyle": "frames_per_sec_512p_2style",
-              "1080p": "frames_per_sec_1080p"}[args.mode]
+              "1080p": "frames_per_sec_1080p",
+              "latency": "frames_per_sec_512p_batch1"}[args.mode]
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
