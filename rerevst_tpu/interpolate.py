@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                    help="with --dtype bf16: fp32-storage region "
                         "(ModelConfig.fp32_mix)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard per-style Pass-1 collection over this many "
+                        "devices (0 = single; Pass 2 is per-frame by the "
+                        "reference's per-frame-weights contract)")
     return p
 
 
@@ -59,7 +63,13 @@ def main(argv=None):
         fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval)
 
-    ms = MultiStylization(checkpoint=args.checkpoint, cfg=cfg, infer=infer)
+    mesh = None
+    if args.devices:
+        from rerevst_tpu.parallel import frame_mesh
+
+        mesh = frame_mesh(args.devices)
+    ms = MultiStylization(checkpoint=args.checkpoint, cfg=cfg, infer=infer,
+                          mesh=mesh)
     styles = [cv2.resize(vio.read_frame(s),
                          (args.style_size, args.style_size))
               for s in args.styles]

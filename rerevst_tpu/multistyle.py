@@ -50,9 +50,14 @@ class MultiStylization:
 
     def __init__(self, checkpoint: Optional[str] = None, params=None,
                  cfg: Optional[ModelConfig] = None,
-                 infer: Optional[InferenceConfig] = None):
+                 infer: Optional[InferenceConfig] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — per-style Pass-1 statistics
+        collection shards the sampled-frame axis over it (Pass 2 stays
+        per-frame: the reference blends with per-frame weights,
+        ``Multi-style Interpolation/test.py:127-131``)."""
         self.cfg = cfg or ModelConfig()
         self.infer = infer or InferenceConfig(sample_interval=16)
+        self.mesh = mesh
         if params is None:
             if checkpoint is None:
                 raise ValueError("need checkpoint or params")
@@ -159,9 +164,18 @@ class MultiStylization:
             sampled = jnp.asarray(np.stack([feats[i] for i in idx]))
         else:
             sampled = feats[jnp.asarray(idx)]
-        self.stats = [
-            self._collect(self.params, sampled, sf) for sf in self.styles
-        ]
+        if self.mesh is not None:
+            from rerevst_tpu.parallel import collect_stats_sharded
+
+            self.stats = [
+                collect_stats_sharded(self.params["decoder"], sampled, sf,
+                                      self.cfg, self.mesh)
+                for sf in self.styles
+            ]
+        else:
+            self.stats = [
+                self._collect(self.params, sampled, sf) for sf in self.styles
+            ]
 
     # -- per-weight decode ---------------------------------------------------
 

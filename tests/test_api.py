@@ -236,6 +236,35 @@ class TestMultiStyle:
         assert (mid.astype(np.float32).mean()
                 >= min(a.mean(), b.mean()) - 2.0)
 
+    def test_mesh_pass1_matches_single_device(self, fixture_frames):
+        """Per-style sharded Pass-1 collection (MultiStylization(mesh=...))
+        == single-device, on healthy synthetic features (random-init
+        activations measure fp chaos across reduction orders — CLAUDE.md)."""
+        from rerevst_tpu.parallel import frame_mesh
+
+        _, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0010.png"), (64, 64))
+        params = init_transformer_params(jax.random.PRNGKey(1), CFG,
+                                         with_loss_net=False)
+        rng = np.random.default_rng(3)
+        feats = jnp.asarray(
+            np.abs(rng.standard_normal((6, 8, 8, 512))).astype(np.float32)
+            * (0.5 + rng.random(512, dtype=np.float32)))
+
+        single = MultiStylization(params=params, cfg=CFG, infer=INFER)
+        single.prepare_styles([style, style2])
+        single.prepare_global(feats, interval=2)
+        sharded = MultiStylization(params=params, cfg=CFG, infer=INFER,
+                                   mesh=frame_mesh(8))
+        sharded.prepare_styles([style, style2])
+        sharded.prepare_global(feats, interval=2)
+        for st_a, st_b in zip(single.stats, sharded.stats):
+            for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-4, atol=2e-4)
+
     def test_disk_feature_cache(self, fixture_frames, tmp_path):
         """The reference's cache/%d.pt content-feature disk cache as a memmap
         (Multi-style Interpolation/test.py:87-98)."""
