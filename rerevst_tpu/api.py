@@ -216,7 +216,25 @@ class Stylization:
         """Pass 2 (hot loop): stylize one frame, return BGR uint8."""
         x = self._prep(frame_bgr)
         out = self._stylize(x)
-        h, w = frame_bgr.shape[:2]
+        return self._post(out, frame_bgr.shape[:2])
+
+    def transfer_batch(self, frames_bgr: Sequence[np.ndarray]
+                       ) -> List[np.ndarray]:
+        """Pass 2 on several same-geometry frames in ONE device call.
+
+        The per-frame device cost drops sharply with batch (8.61 ms at
+        batch 1 vs ~4.1 ms/frame at batch 32, PERF.md) — this is the entry
+        point for request coalescing (serve.py's micro-batcher) and any
+        caller holding multiple ready frames."""
+        if not frames_bgr:
+            return []
+        xs = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
+        outs = self._stylize(xs)
+        return [self._post(outs[i : i + 1], f.shape[:2])
+                for i, f in enumerate(frames_bgr)]
+
+    def _post(self, out, hw) -> np.ndarray:
+        h, w = hw
         from rerevst_tpu.data import native
 
         if native.available():

@@ -82,11 +82,76 @@ def _imencode(img_bgr: np.ndarray, ext: str = ".png") -> bytes:
     return buf.tobytes()
 
 
+class _MicroBatcher:
+    """Dynamic request coalescing for single-frame stylize calls.
+
+    Concurrent /stylize requests land on separate handler threads; each
+    would pay the batch-1 device cost (8.61 ms/frame at 512p f16) where a
+    batched call amortizes to ~4 ms/frame (PERF.md).  A worker thread
+    drains the queue: it waits up to `window_s` after the FIRST queued
+    request for company, groups what arrived by frame shape (geometry is a
+    per-clip contract), and runs ONE batched device call per group.  A lone
+    request under no load pays only its own latency + the window.
+    """
+
+    def __init__(self, fn, window_s: float = 0.005, max_batch: int = 8):
+        import queue
+
+        self.fn = fn  # list[frame] -> list[styled frame]
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.q = queue.Queue()
+        self.calls = []  # batch sizes actually executed (observability)
+        t = threading.Thread(target=self._worker, daemon=True,
+                             name="stylize-microbatch")
+        t.start()
+
+    def submit(self, frame):
+        item = {"frame": frame, "out": None, "err": None,
+                "done": threading.Event()}
+        self.q.put(item)
+        item["done"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def _worker(self):
+        import queue
+        import time
+
+        while True:
+            batch = [self.q.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            groups = {}
+            for it in batch:
+                groups.setdefault(it["frame"].shape, []).append(it)
+            for items in groups.values():
+                try:
+                    outs = self.fn([it["frame"] for it in items])
+                    for it, o in zip(items, outs):
+                        it["out"] = o
+                except Exception as e:  # noqa: BLE001 — per-request reply
+                    for it in items:
+                        it["err"] = e
+                self.calls.append(len(items))
+                for it in items:
+                    it["done"].set()
+
+
 class StylizeService:
     """Thread-safe wrapper around one Stylization session."""
 
     def __init__(self, checkpoint: str, dtype: str = "bf16", mix: str = "none",
-                 use_global: bool = True):
+                 use_global: bool = True, batch_window_ms: float = 0.0,
+                 batch_max: int = 8):
         import jax.numpy as jnp
 
         from rerevst_tpu.api import Stylization
@@ -99,6 +164,12 @@ class StylizeService:
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
         self.lock = threading.Lock()
+        #: opt-in micro-batching: coalesce concurrent /stylize requests
+        #: into one device call (--batch-window-ms).
+        self.batcher = None
+        if batch_window_ms > 0:
+            self.batcher = _MicroBatcher(self._transfer_batch,
+                                         batch_window_ms / 1e3, batch_max)
         #: token -> chunked clip-session state (disk spool dirs).
         self.clips = {}
         #: lazily-created multi-style session (POST /styles).
@@ -125,8 +196,14 @@ class StylizeService:
                 self.session.compute()
 
     def stylize(self, img):
+        if self.batcher is not None:
+            return self.batcher.submit(img)
         with self.lock:
             return self.session.transfer(img)
+
+    def _transfer_batch(self, frames):
+        with self.lock:
+            return self.session.transfer_batch(frames)
 
     # ------------------------------------------------------------------
     # Multi-style interpolation (the reference's Multi-style variant)
@@ -503,8 +580,11 @@ class _HttpError(Exception):
 def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           dtype: str = "bf16", mix: str = "none", use_global: bool = True,
           max_body_mb: float = DEFAULT_MAX_BODY_MB,
-          max_frames: int = DEFAULT_MAX_FRAMES) -> ThreadingHTTPServer:
-    svc = StylizeService(checkpoint, dtype, mix, use_global)
+          max_frames: int = DEFAULT_MAX_FRAMES,
+          batch_window_ms: float = 0.0,
+          batch_max: int = 8) -> ThreadingHTTPServer:
+    svc = StylizeService(checkpoint, dtype, mix, use_global,
+                         batch_window_ms, batch_max)
     server = ThreadingHTTPServer(
         (host, port),
         make_handler(svc, int(max_body_mb * (1 << 20)), max_frames))
@@ -531,10 +611,18 @@ def main(argv=None):
     ap.add_argument("--no-global", action="store_true")
     ap.add_argument("--max-body-mb", type=float, default=DEFAULT_MAX_BODY_MB)
     ap.add_argument("--max-frames", type=int, default=DEFAULT_MAX_FRAMES)
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent /stylize requests arriving "
+                         "within this window into ONE batched device call "
+                         "(8.61 ms/frame at batch 1 vs ~4.1 amortized at "
+                         "batch 32 — PERF.md).  0 disables")
+    ap.add_argument("--batch-max", type=int, default=8,
+                    help="micro-batching: max frames per coalesced call")
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,
                    args.mix,
-                   not args.no_global, args.max_body_mb, args.max_frames)
+                   not args.no_global, args.max_body_mb, args.max_frames,
+                   args.batch_window_ms, args.batch_max)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

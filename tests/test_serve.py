@@ -367,3 +367,117 @@ def test_abandoned_clip_sessions_are_pruned(spool_service):
     finally:
         del svc.MAX_OPEN_CLIPS
         svc.clip_close(fresh_tok)
+
+
+def test_microbatcher_coalesces_and_maps_results():
+    """_MicroBatcher: concurrent submits coalesce into fewer, larger calls;
+    every caller gets ITS result back; errors propagate per request."""
+    from rerevst_tpu.serve import _MicroBatcher
+
+    def fn(frames):
+        return [f + 1 for f in frames]
+
+    b = _MicroBatcher(fn, window_s=0.2, max_batch=8)
+    frames = [np.full((4, 4, 3), i, np.int32) for i in range(6)]
+    outs = [None] * 6
+    barrier = threading.Barrier(6)
+
+    def call(i):
+        barrier.wait()
+        outs[i] = b.submit(frames[i])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in range(6):
+        np.testing.assert_array_equal(outs[i], frames[i] + 1)
+    assert sum(b.calls) == 6
+    assert max(b.calls) > 1, f"nothing coalesced: {b.calls}"
+
+    def boom(frames):
+        raise RuntimeError("no stats")
+
+    b2 = _MicroBatcher(boom, window_s=0.01)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no stats"):
+        b2.submit(frames[0])
+
+
+def test_microbatcher_groups_by_shape():
+    """Mixed-geometry requests in one window run as separate device calls
+    (the pipeline's geometry is a per-clip contract)."""
+    from rerevst_tpu.serve import _MicroBatcher
+
+    sizes = []
+
+    def fn(frames):
+        sizes.append({f.shape for f in frames})
+        return [f * 2 for f in frames]
+
+    b = _MicroBatcher(fn, window_s=0.2, max_batch=8)
+    frames = ([np.ones((4, 4, 3), np.int32)] * 2
+              + [np.ones((6, 4, 3), np.int32)] * 2)
+    outs = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def call(i):
+        barrier.wait()
+        outs[i] = b.submit(frames[i])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in range(4):
+        np.testing.assert_array_equal(outs[i], frames[i] * 2)
+    assert all(len(s) == 1 for s in sizes), f"mixed-shape call: {sizes}"
+
+
+def test_batched_stylize_service_matches_unbatched(tmp_path, clip):
+    """A micro-batching service returns byte-identical frames to the plain
+    per-request path, end to end through the real two-pass session."""
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import StylizeService
+
+    frames, style = clip
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    params["decoder"] = jax.tree.map(lambda a: a * 5.0, params["decoder"])
+    ckpt = str(tmp_path / "m.msgpack")
+    save_params(ckpt, params)
+
+    def run(window_ms):
+        svc = StylizeService(ckpt, dtype="f32", batch_window_ms=window_ms)
+        svc.set_style(style)
+        for i, f in enumerate(frames):
+            svc.pass1(f, last=i == len(frames) - 1)
+        outs = [None] * len(frames)
+        barrier = threading.Barrier(len(frames))
+
+        def call(i):
+            barrier.wait()
+            outs[i] = svc.stylize(frames[i])
+
+        ts = [threading.Thread(target=call, args=(i,))
+              for i in range(len(frames))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return svc, outs
+
+    svc_plain, plain = run(0.0)
+    assert svc_plain.batcher is None
+    svc_b, batched = run(500.0)
+    for a, b in zip(plain, batched):
+        np.testing.assert_array_equal(a, b)
+    assert sum(svc_b.batcher.calls) == len(frames)
+    assert max(svc_b.batcher.calls) > 1, svc_b.batcher.calls
