@@ -220,16 +220,36 @@ class Stylization:
 
     def transfer_batch(self, frames_bgr: Sequence[np.ndarray]
                        ) -> List[np.ndarray]:
-        """Pass 2 on several same-geometry frames in ONE device call.
+        """Pass 2 on several same-geometry frames in ONE device round trip.
 
         The per-frame device cost drops sharply with batch (8.61 ms at
         batch 1 vs ~4.1 ms/frame at batch 32, PERF.md) — this is the entry
         point for request coalescing (serve.py's micro-batcher) and any
-        caller holding multiple ready frames."""
+        caller holding multiple ready frames.  All host prep happens
+        batched, then ONE upload, ONE stylize call, ONE fetch — per-frame
+        eager ops would pay a tunnel round trip each on remote platforms."""
         if not frames_bgr:
             return []
-        xs = jnp.concatenate([self._prep(f) for f in frames_bgr], axis=0)
-        outs = self._stylize(xs)
+        h, w = frames_bgr[0].shape[:2]
+        if self._pad_hw is None:
+            self._pad_hw = padded_size(h, w, self.infer.pad,
+                                       self.infer.granularity)
+            self._orig_hw = (h, w)
+        from rerevst_tpu.data import native
+
+        if native.available():
+            xs = jnp.asarray(native.preprocess_batch(
+                np.stack(frames_bgr), self._pad_hw[0], self._pad_hw[1],
+                self.infer.pad))
+        else:
+            xs = np.concatenate([bgr_to_model(f) for f in frames_bgr],
+                                axis=0)
+            th, tw = self._pad_hw
+            p = self.infer.pad
+            xs = jnp.asarray(np.pad(
+                xs, ((0, 0), (p, th - p - h), (p, tw - p - w), (0, 0)),
+                mode="symmetric"))
+        outs = np.asarray(self._stylize(xs), dtype=np.float32)
         return [self._post(outs[i : i + 1], f.shape[:2])
                 for i, f in enumerate(frames_bgr)]
 

@@ -134,14 +134,27 @@ class _MicroBatcher:
             for it in batch:
                 groups.setdefault(it["frame"].shape, []).append(it)
             for items in groups.values():
+                # Pad each coalesced batch up to a power-of-2 bucket
+                # (repeating the last frame; decode is per-frame under
+                # frozen stats, so pad rows are exact throwaways).  XLA
+                # compiles one graph per STATIC batch shape — unbucketed,
+                # every new coalesced size recompiles, which measured 7x
+                # SLOWER than no batching through the remote-compile
+                # tunnel (scripts/bench_serving.py).
+                n = len(items)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                frames = [it["frame"] for it in items]
+                frames += [frames[-1]] * (bucket - n)
                 try:
-                    outs = self.fn([it["frame"] for it in items])
+                    outs = self.fn(frames)[:n]
                     for it, o in zip(items, outs):
                         it["out"] = o
                 except Exception as e:  # noqa: BLE001 — per-request reply
                     for it in items:
                         it["err"] = e
-                self.calls.append(len(items))
+                self.calls.append(n)
                 for it in items:
                     it["done"].set()
 
