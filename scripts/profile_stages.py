@@ -7,6 +7,7 @@ data movement, ~MBs — noise next to the ~100 GFLOP stages) closes each
 chain so every stage is timed in isolation.
 
 Usage: python scripts/profile_stages.py [--batch 16] [--size 512]
+                                        [--dtype {bf16,f16,f32}]
 """
 
 import argparse
@@ -55,9 +56,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f16", "f32"])
     args = ap.parse_args()
 
-    cfg = ModelConfig(dtype=jnp.bfloat16)
+    cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+                             "f32": jnp.float32}[args.dtype])
     prec = precision_for(cfg.dtype, cfg.precision)
     h, w = padded_size(args.size, args.size)
     fh, fw = h // 8, w // 8
