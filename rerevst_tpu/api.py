@@ -136,12 +136,17 @@ class Stylization:
     # Geometry (ReshapeTool contract: fixed after first frame)
     # ------------------------------------------------------------------
 
-    def _prep(self, frame_bgr: np.ndarray) -> jnp.ndarray:
-        h, w = frame_bgr.shape[:2]
+    def _lock_geometry(self, h: int, w: int) -> None:
+        """First frame fixes the padded shape for the whole clip
+        (ReshapeTool contract, ``test/generate_real_video.py:66-83``)."""
         if self._pad_hw is None:
             self._pad_hw = padded_size(h, w, self.infer.pad,
                                        self.infer.granularity)
             self._orig_hw = (h, w)
+
+    def _prep(self, frame_bgr: np.ndarray) -> jnp.ndarray:
+        h, w = frame_bgr.shape[:2]
+        self._lock_geometry(h, w)
         from rerevst_tpu.data import native
 
         if native.available():
@@ -218,8 +223,8 @@ class Stylization:
         out = self._stylize(x)
         return self._post(out, frame_bgr.shape[:2])
 
-    def transfer_batch(self, frames_bgr: Sequence[np.ndarray]
-                       ) -> List[np.ndarray]:
+    def transfer_batch(self, frames_bgr: Sequence[np.ndarray],
+                       pad_to: int = 0) -> List[np.ndarray]:
         """Pass 2 on several same-geometry frames in ONE device round trip.
 
         The per-frame device cost drops sharply with batch (8.61 ms at
@@ -227,29 +232,31 @@ class Stylization:
         point for request coalescing (serve.py's micro-batcher) and any
         caller holding multiple ready frames.  All host prep happens
         batched, then ONE upload, ONE stylize call, ONE fetch — per-frame
-        eager ops would pay a tunnel round trip each on remote platforms."""
+        eager ops would pay a tunnel round trip each on remote platforms.
+
+        ``pad_to``: pad the batch up to this size by repeating the last
+        PREPROCESSED row (recompile-free bucketing for the micro-batcher).
+        Pad rows skip host preprocessing, and the styled batch is sliced
+        back to the real size on device so they never ride the D2H path."""
         if not frames_bgr:
             return []
+        n = len(frames_bgr)
         h, w = frames_bgr[0].shape[:2]
-        if self._pad_hw is None:
-            self._pad_hw = padded_size(h, w, self.infer.pad,
-                                       self.infer.granularity)
-            self._orig_hw = (h, w)
+        self._lock_geometry(h, w)
         from rerevst_tpu.data import native
 
         if native.available():
-            xs = jnp.asarray(native.preprocess_batch(
+            xs = native.preprocess_batch(
                 np.stack(frames_bgr), self._pad_hw[0], self._pad_hw[1],
-                self.infer.pad))
+                self.infer.pad)
         else:
-            xs = np.concatenate([bgr_to_model(f) for f in frames_bgr],
-                                axis=0)
-            th, tw = self._pad_hw
-            p = self.infer.pad
-            xs = jnp.asarray(np.pad(
-                xs, ((0, 0), (p, th - p - h), (p, tw - p - w), (0, 0)),
-                mode="symmetric"))
-        outs = np.asarray(self._stylize(xs), dtype=np.float32)
+            xs = pad_reflect_multiple(
+                np.concatenate([bgr_to_model(f) for f in frames_bgr], 0),
+                self.infer.pad, self.infer.granularity, self._pad_hw)
+        if pad_to > n:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pad_to - n, 0)])
+        outs = np.asarray(self._stylize(jnp.asarray(xs))[:n],
+                          dtype=np.float32)
         return [self._post(outs[i : i + 1], f.shape[:2])
                 for i, f in enumerate(frames_bgr)]
 

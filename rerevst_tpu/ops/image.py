@@ -83,12 +83,16 @@ def pad_reflect_multiple(img, pad: int = 64, granularity: int = 64,
 
     cv2.BORDER_REFLECT (``test/generate_real_video.py:81-82``) duplicates the
     edge pixel — numpy/jnp mode='symmetric', NOT mode='reflect'.
+
+    numpy in, numpy out (host-side batch prep must not bounce through the
+    device); anything else goes through jnp.pad.
     """
     n, h, w, c = img.shape
     if target_hw is None:
         target_hw = padded_size(h, w, pad, granularity)
     th, tw = target_hw
-    return jnp.pad(
+    pad_fn = np.pad if isinstance(img, np.ndarray) else jnp.pad
+    return pad_fn(
         img,
         ((0, 0), (pad, th - pad - h), (pad, tw - pad - w), (0, 0)),
         mode="symmetric",

@@ -115,15 +115,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(x, mult: int, axis: int = 0):
     """Pad `x` along `axis` (repeating the last slice) to a multiple of
-    `mult`; returns (padded, valid_mask [padded_len])."""
+    `mult`; returns (padded, valid_mask [padded_len]).
+
+    numpy in, numpy out (host-side chunk feeds pad BEFORE the single
+    sharded device_put, so padding must not bounce through the default
+    device); jax arrays stay jax."""
+    import numpy as np
+
     import jax.numpy as jnp
 
+    xp = np if isinstance(x, np.ndarray) else jnp
     n = x.shape[axis]
     pad = (-n) % mult
-    mask = jnp.concatenate(
-        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    mask = xp.concatenate(
+        [xp.ones((n,), xp.float32), xp.zeros((pad,), xp.float32)])
     if pad:
-        last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
-        reps = jnp.concatenate([last] * pad, axis=axis)
-        x = jnp.concatenate([x, reps], axis=axis)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(n - 1, n)
+        x = xp.concatenate([x] + [x[tuple(idx)]] * pad, axis=axis)
     return x, mask

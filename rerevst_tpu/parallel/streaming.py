@@ -166,18 +166,19 @@ class _ChunkFeed:
             self.sharding = None
 
     def __iter__(self):
+        from rerevst_tpu.parallel.mesh import pad_to_multiple
+
         for i in range(0, self.n, self.chunk):
             ch = np.asarray(self.feats[i : i + self.chunk])
-            mask = np.ones((ch.shape[0],), np.float32)
             if self.mesh is not None:
-                ndev = self.mesh.devices.size
-                pad = (-ch.shape[0]) % ndev
-                if pad:
-                    ch = np.concatenate([ch, np.repeat(ch[-1:], pad, 0)])
-                    mask = np.concatenate([mask, np.zeros(pad, np.float32)])
-                yield (jax.device_put(jnp.asarray(ch), self.sharding),
-                       jax.device_put(jnp.asarray(mask), self.sharding))
+                # Pad on host, then ONE sharded upload per array — a
+                # jnp.asarray first would land the whole chunk on the
+                # default device and pay a second resharding copy.
+                ch, mask = pad_to_multiple(ch, self.mesh.devices.size)
+                yield (jax.device_put(ch, self.sharding),
+                       jax.device_put(mask, self.sharding))
             else:
+                mask = np.ones((ch.shape[0],), np.float32)
                 yield jnp.asarray(ch), jnp.asarray(mask)
 
 

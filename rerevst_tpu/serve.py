@@ -94,23 +94,36 @@ class _MicroBatcher:
     request under no load pays only its own latency + the window.
     """
 
+    #: liveness-poll period while a submitter waits on its result.
+    WAIT_POLL_S = 30.0
+
     def __init__(self, fn, window_s: float = 0.005, max_batch: int = 8):
+        import collections
         import queue
 
-        self.fn = fn  # list[frame] -> list[styled frame]
+        self.fn = fn  # (list[frame], pad_to) -> list[styled frame]
         self.window_s = window_s
         self.max_batch = max_batch
         self.q = queue.Queue()
-        self.calls = []  # batch sizes actually executed (observability)
-        t = threading.Thread(target=self._worker, daemon=True,
-                             name="stylize-microbatch")
-        t.start()
+        #: recent executed batch sizes (bounded — a long-lived server must
+        #: not grow a list forever) + running totals for observability.
+        self.calls = collections.deque(maxlen=4096)
+        self.n_calls = 0
+        self.n_frames = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="stylize-microbatch")
+        self._thread.start()
 
     def submit(self, frame):
         item = {"frame": frame, "out": None, "err": None,
                 "done": threading.Event()}
         self.q.put(item)
-        item["done"].wait()
+        # Never wait on a dead worker: a wedged handler thread pool is
+        # worse than a 500 (the worker marks items done even on error,
+        # so this only trips if the thread itself died).
+        while not item["done"].wait(timeout=self.WAIT_POLL_S):
+            if not self._thread.is_alive():
+                raise RuntimeError("micro-batch worker thread died")
         if item["err"] is not None:
             raise item["err"]
         return item["out"]
@@ -130,33 +143,44 @@ class _MicroBatcher:
                     batch.append(self.q.get(timeout=left))
                 except queue.Empty:
                     break
-            groups = {}
-            for it in batch:
-                groups.setdefault(it["frame"].shape, []).append(it)
-            for items in groups.values():
-                # Pad each coalesced batch up to a power-of-2 bucket
-                # (repeating the last frame; decode is per-frame under
-                # frozen stats, so pad rows are exact throwaways).  XLA
-                # compiles one graph per STATIC batch shape — unbucketed,
-                # every new coalesced size recompiles, which measured 7x
-                # SLOWER than no batching through the remote-compile
-                # tunnel (scripts/bench_serving.py).
-                n = len(items)
-                bucket = 1
-                while bucket < n:
-                    bucket *= 2
-                frames = [it["frame"] for it in items]
-                frames += [frames[-1]] * (bucket - n)
-                try:
-                    outs = self.fn(frames)[:n]
-                    for it, o in zip(items, outs):
-                        it["out"] = o
-                except Exception as e:  # noqa: BLE001 — per-request reply
-                    for it in items:
-                        it["err"] = e
-                self.calls.append(n)
-                for it in items:
-                    it["done"].set()
+            try:
+                groups = {}
+                for it in batch:
+                    groups.setdefault(it["frame"].shape, []).append(it)
+                for items in groups.values():
+                    self._run_group(items)
+            except Exception as e:  # noqa: BLE001 — keep the worker alive
+                for it in batch:
+                    if not it["done"].is_set():
+                        it["err"] = it["err"] if it["err"] is not None else e
+                        it["done"].set()
+
+    def _run_group(self, items):
+        # Pad each coalesced batch up to a power-of-2 bucket, capped at
+        # max_batch (the operator's device-memory/graph-size bound).
+        # Padding happens on the PREPROCESSED array inside transfer_batch
+        # (pad rows skip host prep and the D2H fetch).  XLA compiles one
+        # graph per STATIC batch shape — unbucketed, every new coalesced
+        # size recompiles, which measured 7x SLOWER than no batching
+        # through the remote-compile tunnel (scripts/bench_serving.py).
+        n = len(items)
+        try:
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, self.max_batch)
+            outs = self.fn([it["frame"] for it in items], bucket)
+            for it, o in zip(items, outs):
+                it["out"] = o
+        except Exception as e:  # noqa: BLE001 — per-request reply
+            for it in items:
+                it["err"] = e
+        finally:
+            self.calls.append(n)
+            self.n_calls += 1
+            self.n_frames += n
+            for it in items:
+                it["done"].set()
 
 
 class StylizeService:
@@ -214,9 +238,9 @@ class StylizeService:
         with self.lock:
             return self.session.transfer(img)
 
-    def _transfer_batch(self, frames):
+    def _transfer_batch(self, frames, pad_to=0):
         with self.lock:
-            return self.session.transfer_batch(frames)
+            return self.session.transfer_batch(frames, pad_to=pad_to)
 
     # ------------------------------------------------------------------
     # Multi-style interpolation (the reference's Multi-style variant)

@@ -83,8 +83,10 @@ def main():
             for t in ts:
                 t.join()
             assert not errs, errs
-        for i in range(1, args.threads):
-            post(url + "/stylize", png(frames[0]))  # odd batch sizes
+        # (Sequential requests cannot warm other batch sizes — each
+        # completes before the next arrives, so they always coalesce to
+        # batch 1.  Power-of-2 bucketing bounds the distinct graph count
+        # and the two timed rounds absorb any stray compile.)
 
         per_thread = args.requests // args.threads
         bodies = [png(f) for f in frames]

@@ -374,7 +374,7 @@ def test_microbatcher_coalesces_and_maps_results():
     every caller gets ITS result back; errors propagate per request."""
     from rerevst_tpu.serve import _MicroBatcher
 
-    def fn(frames):
+    def fn(frames, pad_to=0):
         return [f + 1 for f in frames]
 
     b = _MicroBatcher(fn, window_s=0.2, max_batch=8)
@@ -396,7 +396,7 @@ def test_microbatcher_coalesces_and_maps_results():
     assert sum(b.calls) == 6
     assert max(b.calls) > 1, f"nothing coalesced: {b.calls}"
 
-    def boom(frames):
+    def boom(frames, pad_to=0):
         raise RuntimeError("no stats")
 
     b2 = _MicroBatcher(boom, window_s=0.01)
@@ -413,7 +413,7 @@ def test_microbatcher_groups_by_shape():
 
     sizes = []
 
-    def fn(frames):
+    def fn(frames, pad_to=0):
         sizes.append({f.shape for f in frames})
         return [f * 2 for f in frames]
 
@@ -435,6 +435,61 @@ def test_microbatcher_groups_by_shape():
     for i in range(4):
         np.testing.assert_array_equal(outs[i], frames[i] * 2)
     assert all(len(s) == 1 for s in sizes), f"mixed-shape call: {sizes}"
+
+
+def test_microbatcher_bucket_respects_batch_max():
+    """Power-of-2 bucketing must never pad past the operator's --batch-max
+    (the configured device-memory/graph-size bound): 5-6 coalesced requests
+    under max_batch=6 run at pad_to=6, not the next power of 2 (8)."""
+    from rerevst_tpu.serve import _MicroBatcher
+
+    pads = []
+
+    def fn(frames, pad_to=0):
+        pads.append((len(frames), pad_to))
+        return [f + 1 for f in frames]
+
+    b = _MicroBatcher(fn, window_s=0.3, max_batch=6)
+    frames = [np.full((4, 4, 3), i, np.int32) for i in range(6)]
+    outs = [None] * 6
+    barrier = threading.Barrier(6)
+
+    def call(i):
+        barrier.wait()
+        outs[i] = b.submit(frames[i])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for i in range(6):
+        np.testing.assert_array_equal(outs[i], frames[i] + 1)
+    assert all(p <= 6 for _, p in pads), f"bucket exceeded batch-max: {pads}"
+    assert sum(n for n, _ in pads) == 6
+    assert b.n_frames == 6 and b.n_calls == len(pads)
+
+
+def test_microbatcher_dead_worker_raises_instead_of_hanging():
+    """A submit against a dead worker thread must raise, not wedge the
+    handler thread forever."""
+    import queue as _queue
+
+    from rerevst_tpu.serve import _MicroBatcher
+
+    b = _MicroBatcher.__new__(_MicroBatcher)
+    b.q = _queue.Queue()
+    dead = threading.Thread(target=lambda: None)
+    dead.start()
+    dead.join()
+    b._thread = dead
+    old = _MicroBatcher.WAIT_POLL_S
+    _MicroBatcher.WAIT_POLL_S = 0.05
+    try:
+        with pytest.raises(RuntimeError, match="worker thread died"):
+            b.submit(np.zeros((2, 2, 3), np.uint8))
+    finally:
+        _MicroBatcher.WAIT_POLL_S = old
 
 
 def test_batched_stylize_service_matches_unbatched(tmp_path, clip):
