@@ -117,6 +117,9 @@ class Stylization:
         #: How the last Pass 1 collected its statistics:
         #: 'batched' | 'streaming-spill' | 'streaming' | 'sharded'.
         self.pass1_mode: Optional[str] = None
+        #: Optional AOT bundle (io/aot.py) — preferred Pass-2 path when the
+        #: frame geometry/batch matches one of its exported graphs.
+        self._aot = None
 
         cfg_ = self.cfg
         self._encode_style = jax.jit(
@@ -217,6 +220,13 @@ class Stylization:
             self.stats = self._collect(self.params, feats, self.style)
         self._patches = []
 
+    def use_aot(self, path: str) -> None:
+        """Serve Pass 2 from an AOT bundle (io/aot.py) where geometry and
+        batch match; other shapes fall back to the jit path."""
+        from rerevst_tpu.io.aot import load_bundle
+
+        self._aot = load_bundle(path)
+
     def transfer(self, frame_bgr: np.ndarray) -> np.ndarray:
         """Pass 2 (hot loop): stylize one frame, return BGR uint8."""
         x = self._prep(frame_bgr)
@@ -283,6 +293,11 @@ class Stylization:
 
                 return stylize_frames_sharded(self.params, x, self.style,
                                               self.stats, self.cfg, self.mesh)
+            if self._aot is not None:
+                try:
+                    return self._aot(self.params, x, self.style, self.stats)
+                except KeyError:
+                    pass  # geometry/batch not in the bundle -> jit path
             return self._stylize_global(self.params, x, self.style, self.stats)
         if self.style is None:
             raise RuntimeError("prepare_style first")

@@ -113,6 +113,28 @@ def _train_import(args):
     print(f"imported train state @ step {step} -> {wrote}")
 
 
+def _export_aot(args):
+    import os
+
+    import jax.numpy as jnp
+
+    from rerevst_tpu.api import Stylization
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.aot import save_bundle
+
+    h, w = (int(v) for v in args.hw.lower().split("x"))
+    batches = [int(b) for b in args.batches.split(",")]
+    cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
+                             "f32": jnp.float32}[args.dtype])
+    session = Stylization(checkpoint=args.src, cfg=cfg, use_global=True)
+    meta = save_bundle(args.dst, session, (h, w), batches=batches,
+                       platforms=args.platforms.split(","))
+    size_mb = os.path.getsize(args.dst) / (1 << 20)
+    print(f"AOT bundle {args.dst}: {meta['hw'][0]}x{meta['hw'][1]} batches "
+          f"{meta['batches']} platforms {meta['platforms']} "
+          f"({size_mb:.1f} MB)")
+
+
 def main(argv=None):
     from rerevst_tpu.profiling import enable_compile_cache
 
@@ -138,12 +160,29 @@ def main(argv=None):
                     help="with --train-export: epoch tag for the filenames "
                          "(default: the native checkpoint's step)")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--export-aot", action="store_true",
+                    help="src = checkpoint, dst = .rvaot bundle: export the "
+                         "compiled Pass-2 hot path (StableHLO via "
+                         "jax.export) as a deployment artifact")
+    ap.add_argument("--hw", default="640x640",
+                    help="with --export-aot: PADDED frame geometry HxW "
+                         "(512p content pads to 640x640)")
+    ap.add_argument("--batches", default="1",
+                    help="with --export-aot: comma-separated batch sizes "
+                         "to export (e.g. 1,2,4,8)")
+    ap.add_argument("--dtype", default="f16",
+                    choices=["bf16", "f16", "f32"],
+                    help="with --export-aot: model storage dtype")
+    ap.add_argument("--platforms", default="cpu,tpu",
+                    help="with --export-aot: lowering platforms")
     args = ap.parse_args(argv)
 
     if args.train_export:
         return _train_export(args)
     if args.train_import:
         return _train_import(args)
+    if args.export_aot:
+        return _export_aot(args)
 
     from rerevst_tpu.io.checkpoint import load_params, save_params
     from rerevst_tpu.io.torch_compat import (

@@ -619,9 +619,11 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           max_body_mb: float = DEFAULT_MAX_BODY_MB,
           max_frames: int = DEFAULT_MAX_FRAMES,
           batch_window_ms: float = 0.0,
-          batch_max: int = 8) -> ThreadingHTTPServer:
+          batch_max: int = 8, aot: str | None = None) -> ThreadingHTTPServer:
     svc = StylizeService(checkpoint, dtype, mix, use_global,
                          batch_window_ms, batch_max)
+    if aot:
+        svc.session.use_aot(aot)
     server = ThreadingHTTPServer(
         (host, port),
         make_handler(svc, int(max_body_mb * (1 << 20)), max_frames))
@@ -655,11 +657,15 @@ def main(argv=None):
                          "batch 32 — PERF.md).  0 disables")
     ap.add_argument("--batch-max", type=int, default=8,
                     help="micro-batching: max frames per coalesced call")
+    ap.add_argument("--aot", default=None,
+                    help="AOT Pass-2 bundle (convert --export-aot): serve "
+                         "the hot loop from the precompiled artifact where "
+                         "geometry/batch match; other shapes use jit")
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,
                    args.mix,
                    not args.no_global, args.max_body_mb, args.max_frames,
-                   args.batch_window_ms, args.batch_max)
+                   args.batch_window_ms, args.batch_max, aot=args.aot)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 
