@@ -24,11 +24,46 @@ import jax
 import jax.numpy as jnp
 
 
+def _acquire_devices_or_die(timeout_s: float = 300.0):
+    """Fail FAST and loud if the TPU is unreachable.
+
+    The tunneled backend's first contact retries forever when the tunnel
+    is down; a bench invocation would hang silently with no artifact.
+    Probe device init on a watchdog thread and emit a diagnostic JSON line
+    (same one-line contract) + nonzero exit instead."""
+    import os
+    import threading
+
+    done = threading.Event()
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — reported below
+            out["error"] = repr(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or "error" in out:
+        print(json.dumps({
+            "metric": "frames_per_sec_512p", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": out.get(
+                "error",
+                f"device init did not complete in {timeout_s:.0f}s "
+                "(TPU tunnel down?)")}))
+        os._exit(2)
+    return out["devices"]
+
+
 def main():
     from rerevst_tpu.profiling import enable_compile_cache
 
     enable_compile_cache()
     import sys
+
+    _acquire_devices_or_die()
 
     # Parity mode delegates wholesale to the parity CLI (its flag surface —
     # --frames/--crop/--fast_dtype/... — overlaps this parser's, so intercept
