@@ -52,8 +52,8 @@ def _acquire_devices_or_die(timeout_s: float = 300.0):
             "error": out.get(
                 "error",
                 f"device init did not complete in {timeout_s:.0f}s "
-                "(TPU tunnel down?)")}))
-        os._exit(2)
+                "(TPU tunnel down?)")}), flush=True)
+        os._exit(2)  # flush above: _exit skips stdio buffers
     return out["devices"]
 
 
@@ -62,8 +62,6 @@ def main():
 
     enable_compile_cache()
     import sys
-
-    _acquire_devices_or_die()
 
     # Parity mode delegates wholesale to the parity CLI (its flag surface —
     # --frames/--crop/--fast_dtype/... — overlaps this parser's, so intercept
@@ -75,6 +73,7 @@ def main():
         from rerevst_tpu.eval.parity import main as parity_main
 
         i = argv.index("--mode=parity")
+        _acquire_devices_or_die()
         parity_main(argv[:i] + argv[i + 1:])
         return
     if ("--mode" in argv and argv.index("--mode") + 1 < len(argv)
@@ -82,6 +81,7 @@ def main():
         from rerevst_tpu.eval.parity import main as parity_main
 
         i = argv.index("--mode")
+        _acquire_devices_or_die()
         parity_main(argv[:i] + argv[i + 2:])
         return
 
@@ -123,6 +123,9 @@ def main():
                          "parity: bf16-vs-fp32 pixel error "
                          "on the real ambush_4 fixture (handled above)")
     args = ap.parse_args()
+    # Probe AFTER parsing: --help / flag typos must answer instantly, not
+    # block on (or bogus-report against) the device.
+    _acquire_devices_or_die()
     if args.batch is None:
         args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 32)
     if args.mode == "1080p":
@@ -137,7 +140,7 @@ def main():
         # and a 1-iter difference is swamped by tunnel RPC jitter.
         args.frames, args.reps = 4 * args.batch, 2
 
-    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.config import ModelConfig, dtype_from_name
     from rerevst_tpu.models.transformer import (
         collect_stats,
         decode_global,
@@ -147,8 +150,7 @@ def main():
     )
     from rerevst_tpu.ops.image import padded_size
 
-    dtype = {"bf16": jnp.bfloat16, "f16": jnp.float16,
-             "f32": jnp.float32}[args.dtype]
+    dtype = dtype_from_name(args.dtype)
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision,
                       parity_packed=args.packed)

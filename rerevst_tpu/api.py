@@ -225,7 +225,18 @@ class Stylization:
         batch match; other shapes fall back to the jit path."""
         from rerevst_tpu.io.aot import load_bundle
 
-        self._aot = load_bundle(path)
+        bundle = load_bundle(path)
+        want = np.dtype(self.cfg.dtype).name
+        have = bundle.meta.get("dtype")
+        if have != want:
+            # The exported graphs are dtype-specialized: a mismatched call
+            # would fail on EVERY frame.  Reject loudly at load time.
+            raise ValueError(
+                f"AOT bundle {path} was exported for dtype {have!r} but the "
+                f"session stores {want!r} — rebuild it with "
+                f"convert --export-aot --dtype matching the serving dtype")
+        self._aot = bundle
+        self._aot_warned = False
 
     def transfer(self, frame_bgr: np.ndarray) -> np.ndarray:
         """Pass 2 (hot loop): stylize one frame, return BGR uint8."""
@@ -298,6 +309,17 @@ class Stylization:
                     return self._aot(self.params, x, self.style, self.stats)
                 except KeyError:
                     pass  # geometry/batch not in the bundle -> jit path
+                except ValueError as e:
+                    # jax.export rejects structure/dtype drift with
+                    # ValueError (e.g. streaming-mode Pass 1 keeps filters
+                    # fp32 where the bundle was exported against batched
+                    # stats).  Fall back to jit, but say so once.
+                    if not getattr(self, "_aot_warned", False):
+                        import sys
+
+                        print(f"warning: AOT bundle rejected the call "
+                              f"({e}); serving via jit", file=sys.stderr)
+                        self._aot_warned = True
             return self._stylize_global(self.params, x, self.style, self.stats)
         if self.style is None:
             raise RuntimeError("prepare_style first")

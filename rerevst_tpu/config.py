@@ -10,6 +10,14 @@ from __future__ import annotations
 import dataclasses
 import jax.numpy as jnp
 
+#: CLI dtype-name -> storage dtype (one source of truth for every driver).
+DTYPES = {"bf16": jnp.bfloat16, "f16": jnp.float16, "f32": jnp.float32}
+
+
+def dtype_from_name(name: str):
+    """'bf16'|'f16'|'f32' -> jnp dtype (shared by all CLI surfaces)."""
+    return DTYPES[name]
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:

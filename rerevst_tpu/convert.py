@@ -119,13 +119,12 @@ def _export_aot(args):
     import jax.numpy as jnp
 
     from rerevst_tpu.api import Stylization
-    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.config import ModelConfig, dtype_from_name
     from rerevst_tpu.io.aot import save_bundle
 
     h, w = (int(v) for v in args.hw.lower().split("x"))
     batches = [int(b) for b in args.batches.split(",")]
-    cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-                             "f32": jnp.float32}[args.dtype])
+    cfg = ModelConfig(dtype=dtype_from_name(args.dtype))
     session = Stylization(checkpoint=args.src, cfg=cfg, use_global=True)
     meta = save_bundle(args.dst, session, (h, w), batches=batches,
                        platforms=args.platforms.split(","))

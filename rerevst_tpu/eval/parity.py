@@ -105,7 +105,7 @@ def main(argv=None):
     import argparse
     import json
 
-    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.config import ModelConfig, dtype_from_name
 
     ap = argparse.ArgumentParser("rerevst_tpu.eval.parity")
     ap.add_argument("--checkpoint", default=BUNDLED_CHECKPOINT)
@@ -127,8 +127,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     fast = ModelConfig(
-        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-               "f32": jnp.float32}[args.fast_dtype],
+        dtype=dtype_from_name(args.fast_dtype),
         precision=args.fast_precision, fp32_mix=args.fast_tail,
         parity_packed=args.fast_packed)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)

@@ -52,14 +52,14 @@ def main(argv=None):
     import cv2
     import jax.numpy as jnp
 
-    from rerevst_tpu.config import InferenceConfig, ModelConfig
+    from rerevst_tpu.config import (InferenceConfig, ModelConfig,
+                                    dtype_from_name)
     from rerevst_tpu.data import video as vio
     from rerevst_tpu.multistyle import MultiStylization
 
     args = build_parser().parse_args(argv)
     cfg = ModelConfig(
-        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-               "f32": jnp.float32}[args.dtype],
+        dtype=dtype_from_name(args.dtype),
         fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval)
 

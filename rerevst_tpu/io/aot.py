@@ -113,8 +113,7 @@ def save_bundle(path: str, session, hw: Tuple[int, int],
     blobs = []
     meta = {"hw": list(hw), "batches": list(batches),
             "platforms": list(platforms),
-            "dtype": str(np.dtype(session.cfg.dtype).name)
-            if session.cfg.dtype != jnp.bfloat16 else "bfloat16",
+            "dtype": np.dtype(session.cfg.dtype).name,
             "entries": []}
     for b in batches:
         blob = export_pass2(session, hw, batch=b,

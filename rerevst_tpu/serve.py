@@ -192,11 +192,10 @@ class StylizeService:
         import jax.numpy as jnp
 
         from rerevst_tpu.api import Stylization
-        from rerevst_tpu.config import ModelConfig
+        from rerevst_tpu.config import ModelConfig, dtype_from_name
 
         cfg = ModelConfig(
-            dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-                   "f32": jnp.float32}[dtype],
+            dtype=dtype_from_name(dtype),
             fp32_mix=mix)
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
@@ -623,6 +622,10 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
     svc = StylizeService(checkpoint, dtype, mix, use_global,
                          batch_window_ms, batch_max)
     if aot:
+        if not use_global:
+            raise ValueError(
+                "--aot bundles export the global-mode Pass 2; with "
+                "--no-global the bundle would load but never be used")
         svc.session.use_aot(aot)
     server = ThreadingHTTPServer(
         (host, port),

@@ -15,7 +15,8 @@ import os
 import time
 
 from rerevst_tpu.api import Stylization
-from rerevst_tpu.config import InferenceConfig, ModelConfig
+from rerevst_tpu.config import (InferenceConfig, ModelConfig,
+                                dtype_from_name)
 from rerevst_tpu.data import video as vio
 
 
@@ -64,8 +65,7 @@ def main(argv=None):
     use_global = not args.no_global
 
     cfg = ModelConfig(
-        dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-               "f32": jnp.float32}[args.dtype],
+        dtype=dtype_from_name(args.dtype),
         fp32_mix=args.mix)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,

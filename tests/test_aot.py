@@ -104,6 +104,24 @@ def test_convert_cli_export_aot(tmp_path):
     assert aot.meta["platforms"] == ["cpu"]
 
 
+def test_use_aot_rejects_dtype_mismatch(session, tmp_path):
+    """A bundle is dtype-specialized; loading it into a session with a
+    different storage dtype must fail loudly at load time, not 500 on
+    every request (the exported avals would reject every call)."""
+    from rerevst_tpu.api import Stylization
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.aot import save_bundle
+
+    sess, _ = session
+    path = str(tmp_path / "f32.rvaot")
+    save_bundle(path, sess, (64, 64), batches=(1,), platforms=("cpu",))
+
+    other = Stylization(params=sess.params,
+                        cfg=ModelConfig(dtype=jnp.bfloat16), use_global=True)
+    with pytest.raises(ValueError, match="exported for dtype"):
+        other.use_aot(path)
+
+
 def test_load_bundle_rejects_garbage(tmp_path):
     from rerevst_tpu.io.aot import load_bundle
 
