@@ -102,6 +102,27 @@ def blend_pytrees(trees: Sequence, weights: Sequence[float]):
     return jax.tree.map(combine, *trees)
 
 
+def blend_pytrees_batched(trees: Sequence, weights):
+    """Per-SAMPLE weighted sums of identically-structured pytrees.
+
+    `weights` is [B, n_trees] — one blend per batch row.  Leaves whose
+    leading dim is the broadcast 1 come back with leading dim B
+    (NormStats [1,1,1,C] -> [B,1,1,C]; filters [1,P,Q] -> [B,P,Q]) —
+    exactly the shapes ``decode_global`` broadcasts/applies per sample, so
+    a whole frame batch with DIFFERENT interpolation weights decodes in
+    one program (the reference's multi-style loop is one frame per call,
+    ``Multi-style Interpolation/test.py:127-131``).
+    """
+    w = jnp.asarray(weights)
+
+    def combine(*leaves):
+        stacked = jnp.stack(leaves)                       # [S, 1, ...]
+        out = jnp.tensordot(w.astype(stacked.dtype), stacked, axes=1)
+        return out.reshape((w.shape[0],) + stacked.shape[2:])
+
+    return jax.tree.map(combine, *trees)
+
+
 # ---------------------------------------------------------------------------
 # Parameter initialization
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from rerevst_tpu.models.transformer import (
     SeqStats,
     StyleFeatures,
     blend_pytrees,
+    blend_pytrees_batched,
     collect_stats,
     decode_global,
     encode_content,
@@ -85,6 +86,17 @@ class MultiStylization:
             return decode_global(p["decoder"], feats, sf, st, cfg_)
 
         self._transfer = jax.jit(_transfer)
+
+        def _transfer_batch(p, feats, styles, stats, weights):
+            # Per-sample blends ([B,S] weight rows) decode in ONE program:
+            # blended NormStats come back [B,1,1,C] (broadcast against
+            # [B,H,W,C]) and filters [B,P,Q] (apply_dynamic_filter is
+            # per-sample) — the decoder needs no changes.
+            sf = blend_pytrees_batched(styles, weights)
+            st = blend_pytrees_batched(stats, weights)
+            return decode_global(p["decoder"], feats, sf, st, cfg_)
+
+        self._transfer_batch = jax.jit(_transfer_batch)
 
     # -- style prep (384x384 resize convention, Multi-style .../test.py:52) --
 
@@ -194,6 +206,45 @@ class MultiStylization:
         h, w_ = self._orig_hw
         return model_to_bgr(np.asarray(crop_back(out, h, w_, self.infer.pad)))
 
+    def transfer_batch(self, feats, weight_rows) -> List[np.ndarray]:
+        """Decode a [B,...] feature batch, each frame under ITS OWN blend
+        weights ([B, n_styles]), in ONE device call.
+
+        The reference's interpolation loop pays one call per frame
+        (``Multi-style Interpolation/test.py:127-131``); per-sample blended
+        stats/filters make the weight schedule itself batch data.  On a
+        mesh session the batch axis is sharded over the devices."""
+        w = np.asarray(weight_rows, np.float32)
+        n = feats.shape[0]
+        if w.shape != (n, len(self.styles)):
+            raise ValueError(f"weights shape {w.shape} != "
+                             f"({n}, {len(self.styles)})")
+        feats_in, w_in = feats, jnp.asarray(w)
+        if self.mesh is not None and n > 1:
+            from rerevst_tpu.parallel.mesh import (
+                pad_to_multiple,
+                replicated,
+                sharded_batch,
+            )
+
+            ndev = self.mesh.devices.size
+            fp, _ = pad_to_multiple(np.asarray(feats), ndev)
+            wp, _ = pad_to_multiple(w, ndev)
+            sh = sharded_batch(self.mesh)
+            feats_in = jax.device_put(fp, sh)
+            w_in = jax.device_put(wp, sh)
+            params, styles, stats = jax.device_put(
+                (self.params, self.styles, self.stats), replicated(self.mesh))
+            out = self._transfer_batch(params, feats_in, styles, stats,
+                                       w_in)[:n]
+        else:
+            out = self._transfer_batch(self.params, feats_in, self.styles,
+                                       self.stats, w_in)
+        h, w_ = self._orig_hw
+        out = np.asarray(crop_back(out, h, w_, self.infer.pad),
+                         dtype=np.float32)
+        return [model_to_bgr(out[i : i + 1]) for i in range(n)]
+
     #: interpolate_video spills the frame-feature cache to a temp memmap
     #: above this clip length (device/host RAM stays bounded; mirrors
     #: Stylization.STREAMING_THRESHOLD).
@@ -201,7 +252,8 @@ class MultiStylization:
 
     def interpolate_video(self, frames_bgr,
                           weights: Optional[Sequence[Sequence[float]]] = None,
-                          cache_path: Optional[str] = None):
+                          cache_path: Optional[str] = None,
+                          batch_size: int = 8):
         """Stylize a clip under a per-frame weight schedule.
 
         `frames_bgr`: any ``as_source`` input, read lazily.  Long clips
@@ -234,11 +286,22 @@ class MultiStylization:
             if len(weights) != n:
                 raise ValueError(
                     f"weight schedule has {len(weights)} rows for {n} frames")
-            for i in range(n):
-                f = feats[i : i + 1]
-                if isinstance(f, np.ndarray):
-                    f = jnp.asarray(np.asarray(f))
-                yield self.transfer(f, weights[i])
+            # Batched decode: per-sample blended stats put the whole weight
+            # schedule inside one program — bs frames per device call
+            # instead of the reference's one (PERF.md batch scaling).  The
+            # tail chunk pads up to bs (repeat last row) so exactly ONE
+            # batch shape ever compiles.
+            bs = max(int(batch_size), 1)
+            for i in range(0, n, bs):
+                chunk = np.asarray(feats[i : i + bs])
+                rows = [list(r) for r in weights[i : i + bs]]
+                k = len(rows)
+                if k < bs and n > bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - k, 0)])
+                    rows += [rows[-1]] * (bs - k)
+                outs = self.transfer_batch(jnp.asarray(chunk), rows)
+                yield from outs[:k]
         finally:
             if tmp is not None:
                 for p in (tmp, tmp + ".meta.json"):

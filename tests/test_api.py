@@ -236,6 +236,76 @@ class TestMultiStyle:
         assert (mid.astype(np.float32).mean()
                 >= min(a.mean(), b.mean()) - 2.0)
 
+    def test_transfer_batch_matches_per_frame(self, fixture_frames):
+        """Batched multi-style decode (per-sample blended stats/filters,
+        one device call for the whole weight schedule) == the per-frame
+        path within 1 uint8 (tensordot vs sequential-sum blend order)."""
+        frames, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0010.png"), (64, 64))
+        ms = MultiStylization(params=_params(), cfg=CFG, infer=INFER)
+        ms.prepare_styles([style, style2])
+        feats = ms.encode_frames(frames[:3])
+        ms.prepare_global(feats, interval=2)
+        rows = [[1.0, 0.0], [0.4, 0.6], [0.0, 1.0]]
+        want = [ms.transfer(feats[i : i + 1], rows[i]) for i in range(3)]
+        got = ms.transfer_batch(feats, rows)
+        assert len(got) == 3
+        for i in range(3):
+            d = np.abs(want[i].astype(np.int16)
+                       - got[i].astype(np.int16)).max()
+            assert d <= 1, f"frame {i} off by {d}"
+
+    def test_interpolate_video_batched_matches_unbatched(self, fixture_frames):
+        """interpolate_video at batch_size>1 yields the same frames as
+        batch_size=1 (tail padding included: 5 frames / bs 4)."""
+        frames, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0010.png"), (64, 64))
+        clip = (frames * 2)[:5]
+        ms = MultiStylization(params=_params(), cfg=CFG, infer=INFER)
+        ms.prepare_styles([style, style2])
+        a = list(ms.interpolate_video(clip, batch_size=1))
+        ms._pad_hw = None
+        b = list(ms.interpolate_video(clip, batch_size=4))
+        assert len(a) == len(b) == 5
+        for i, (x, y) in enumerate(zip(a, b)):
+            d = np.abs(x.astype(np.int16) - y.astype(np.int16)).max()
+            assert d <= 1, f"frame {i} off by {d}"
+
+    def test_transfer_batch_sharded_matches_single(self, fixture_frames):
+        """Mesh-sharded batched decode == single-device batched decode,
+        under IDENTICAL frozen stats (Pass-1 collection order is covered by
+        test_mesh_pass1_matches_single_device; random-init stats channels
+        are fp-chaotic across reduction orders — CLAUDE.md)."""
+        from rerevst_tpu.parallel import frame_mesh
+
+        frames, style = fixture_frames
+        cv2 = pytest.importorskip("cv2")
+        style2 = cv2.resize(
+            cv2.imread(f"{FIXTURE}/ambush_4/frame_0010.png"), (64, 64))
+        params = _params()
+        single = MultiStylization(params=params, cfg=CFG, infer=INFER)
+        single.prepare_styles([style, style2])
+        feats = single.encode_frames(frames[:3])
+        single.prepare_global(feats, interval=2)
+
+        sharded = MultiStylization(params=params, cfg=CFG, infer=INFER,
+                                   mesh=frame_mesh(8))
+        sharded.styles = single.styles
+        sharded.stats = single.stats
+        sharded._pad_hw = single._pad_hw
+        sharded._orig_hw = single._orig_hw
+
+        rows = [[1.0, 0.0], [0.5, 0.5], [0.25, 0.75]]
+        want = single.transfer_batch(feats, rows)
+        got = sharded.transfer_batch(feats, rows)
+        for i, (x, y) in enumerate(zip(want, got)):
+            d = np.abs(x.astype(np.int16) - y.astype(np.int16)).max()
+            assert d <= 1, f"frame {i} off by {d}"
+
     def test_mesh_pass1_matches_single_device(self, fixture_frames):
         """Per-style sharded Pass-1 collection (MultiStylization(mesh=...))
         == single-device, on healthy synthetic features (random-init
