@@ -108,6 +108,10 @@ def main():
                          "may alias them) — buffer-donation micro-experiment")
     ap.add_argument("--batch", type=int, default=None,
                     help="default: 32 (infer/multistyle), 8 (1080p)")
+    ap.add_argument("--sweep-weights", action="store_true",
+                    help="multistyle mode: per-FRAME weight rows (batched "
+                         "blended state, MultiStylization.transfer_batch "
+                         "path) instead of one scalar blend per batch")
     ap.add_argument("--frames", type=int, default=192,
                     help="frames per timed repetition")
     ap.add_argument("--reps", type=int, default=3)
@@ -170,18 +174,33 @@ def main():
         return sf, collect_stats(params["decoder"], feats, sf, cfg)
 
     if args.mode == "multistyle":
-        from rerevst_tpu.models.transformer import blend_pytrees
+        from rerevst_tpu.models.transformer import (
+            blend_pytrees,
+            blend_pytrees_batched,
+        )
 
         style2 = jax.random.normal(jax.random.PRNGKey(9), (1, h, w, 3),
                                    dtype) * 0.5
         sf2, stats2 = prep(params, style2, sample)
         w1, w2 = jnp.asarray(0.3, jnp.float32), jnp.asarray(0.7, jnp.float32)
+        if args.sweep_weights:
+            # Per-FRAME weight rows (the interpolation sweep served by
+            # MultiStylization.transfer_batch): batched conditioning state,
+            # [B,P,Q] filters instead of a broadcast [1,P,Q].
+            t = jnp.linspace(0.0, 1.0, args.batch)
+            wrows = jnp.stack([t, 1.0 - t], axis=1)
 
-        def hot_fn(params, frames, sf, stats):
-            bsf = blend_pytrees([sf, sf2], [w1, w2])
-            bst = blend_pytrees([stats, stats2], [w1, w2])
-            feats = encode_content(params, frames, cfg, desaturate=True)
-            return decode_global(params["decoder"], feats, bsf, bst, cfg)
+            def hot_fn(params, frames, sf, stats):
+                bsf = blend_pytrees_batched([sf, sf2], wrows)
+                bst = blend_pytrees_batched([stats, stats2], wrows)
+                feats = encode_content(params, frames, cfg, desaturate=True)
+                return decode_global(params["decoder"], feats, bsf, bst, cfg)
+        else:
+            def hot_fn(params, frames, sf, stats):
+                bsf = blend_pytrees([sf, sf2], [w1, w2])
+                bst = blend_pytrees([stats, stats2], [w1, w2])
+                feats = encode_content(params, frames, cfg, desaturate=True)
+                return decode_global(params["decoder"], feats, bsf, bst, cfg)
     else:
         def hot_fn(params, frames, sf, stats):
             feats = encode_content(params, frames, cfg, desaturate=True)
@@ -233,7 +252,8 @@ def main():
                   + ("" if args.tail == "none"
                      else f"+fp32mix:{args.tail}")
                   + ("+packed" if args.packed else "")
-                  + ("+donate" if args.donate else "")),
+                  + ("+donate" if args.donate else "")
+                  + ("+sweep" if args.sweep_weights else "")),
         "device": str(jax.devices()[0]),
     }))
 
