@@ -104,6 +104,32 @@ def test_convert_cli_export_aot(tmp_path):
     assert aot.meta["platforms"] == ["cpu"]
 
 
+def test_aot_falls_back_on_stats_structure_drift(session, tmp_path):
+    """jax.export rejects aval drift with ValueError (e.g. a Pass-1 rerun
+    whose stats dtypes differ from export time); the session must fall back
+    to the jit path — serving keeps working — and warn once."""
+    from rerevst_tpu.data.transforms import bgr_to_model
+    from rerevst_tpu.io.aot import save_bundle
+
+    sess, frame = session
+    path = str(tmp_path / "pass2.rvaot")
+    save_bundle(path, sess, (64, 64), batches=(1,), platforms=("cpu",))
+    x1 = jnp.asarray(bgr_to_model(frame[:64, :64]))
+    want = np.asarray(sess._stylize(x1))
+    orig_stats = sess.stats
+    sess.use_aot(path)
+    try:
+        sess.stats = sess.stats._replace(
+            filters={k: v.astype(jnp.bfloat16)
+                     for k, v in sess.stats.filters.items()})
+        out = np.asarray(sess._stylize(x1))  # ValueError inside -> jit
+        assert sess._aot_warned, "fallback should warn once"
+        assert out.shape == want.shape
+    finally:
+        sess.stats = orig_stats
+        sess._aot = None
+
+
 def test_use_aot_rejects_dtype_mismatch(session, tmp_path):
     """A bundle is dtype-specialized; loading it into a session with a
     different storage dtype must fail loudly at load time, not 500 on
