@@ -69,11 +69,13 @@ def main():
     # and "--mode=parity"; a trailing bare "--mode" falls through to argparse
     # for a proper error.
     argv = sys.argv[1:]
+    want_help = bool({"-h", "--help"} & set(argv))
     if "--mode=parity" in argv:
         from rerevst_tpu.eval.parity import main as parity_main
 
         i = argv.index("--mode=parity")
-        _acquire_devices_or_die()
+        if not want_help:  # --help must answer instantly, device or not
+            _acquire_devices_or_die()
         parity_main(argv[:i] + argv[i + 1:])
         return
     if ("--mode" in argv and argv.index("--mode") + 1 < len(argv)
@@ -81,7 +83,8 @@ def main():
         from rerevst_tpu.eval.parity import main as parity_main
 
         i = argv.index("--mode")
-        _acquire_devices_or_die()
+        if not want_help:
+            _acquire_devices_or_die()
         parity_main(argv[:i] + argv[i + 2:])
         return
 

@@ -313,13 +313,17 @@ class Stylization:
                     # jax.export rejects structure/dtype drift with
                     # ValueError (e.g. streaming-mode Pass 1 keeps filters
                     # fp32 where the bundle was exported against batched
-                    # stats).  Fall back to jit, but say so once.
-                    if not getattr(self, "_aot_warned", False):
-                        import sys
+                    # stats).  The rejection cannot change until Pass 1
+                    # reruns, so DROP the bundle — re-attempting would pay
+                    # a pytree-flatten + raise on every hot-loop frame —
+                    # and say so; use_aot() re-arms it.
+                    import sys
 
-                        print(f"warning: AOT bundle rejected the call "
-                              f"({e}); serving via jit", file=sys.stderr)
-                        self._aot_warned = True
+                    print(f"warning: AOT bundle rejected the call ({e}); "
+                          f"serving via jit from now on (use_aot() to "
+                          f"re-arm after the next Pass 1)", file=sys.stderr)
+                    self._aot_warned = True
+                    self._aot = None
             return self._stylize_global(self.params, x, self.style, self.stats)
         if self.style is None:
             raise RuntimeError("prepare_style first")

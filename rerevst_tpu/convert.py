@@ -116,7 +116,6 @@ def _train_import(args):
 def _export_aot(args):
     import os
 
-    import jax.numpy as jnp
 
     from rerevst_tpu.api import Stylization
     from rerevst_tpu.config import ModelConfig, dtype_from_name

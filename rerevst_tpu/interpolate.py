@@ -50,7 +50,6 @@ def main(argv=None):
 
     enable_compile_cache()
     import cv2
-    import jax.numpy as jnp
 
     from rerevst_tpu.config import (InferenceConfig, ModelConfig,
                                     dtype_from_name)

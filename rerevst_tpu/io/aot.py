@@ -4,10 +4,12 @@ artifact.
 ``jax.export`` captures the jitted stylize step (encode→decode under frozen
 sequence stats) as serialized StableHLO.  A server loads the bundle and
 calls it with ``(params, frames, style, stats)`` — no Python re-trace of
-the model code at startup, and with the persistent compile cache the XLA
-compile is skipped too, so cold-start cost is file IO.  Bundles are lowered
-for BOTH cpu and tpu by default, so the artifact built on a dev box runs on
-the serving chip unchanged.
+the model code at startup.  Bundles are lowered for BOTH cpu and tpu by
+default, so the artifact built on a dev box runs on the serving chip
+unchanged.  Measured caveat (PERF.md): deserialized exports compile through
+``call_exported``, which BYPASSES the persistent compile cache, so with a
+warm cache the plain jit path is the faster cold start — the bundle buys a
+version-stable deployment artifact, not latency.
 
 The reference has no deployment-artifact story at all (inference re-builds
 ``TransformerNet`` from source and ``torch.load``s a checkpoint,

@@ -113,11 +113,15 @@ def blend_pytrees_batched(trees: Sequence, weights):
     one program (the reference's multi-style loop is one frame per call,
     ``Multi-style Interpolation/test.py:127-131``).
     """
-    w = jnp.asarray(weights)
+    w = jnp.asarray(weights, jnp.float32)
 
     def combine(*leaves):
-        stacked = jnp.stack(leaves)                       # [S, 1, ...]
-        out = jnp.tensordot(w.astype(stacked.dtype), stacked, axes=1)
+        # Blend in fp32 exactly like blend_pytrees (whose fp32 weights
+        # promote the sum): a bf16/f16 accumulation here would make the
+        # batched path diverge from the per-frame path in production
+        # dtypes.
+        stacked = jnp.stack(leaves).astype(jnp.float32)   # [S, 1, ...]
+        out = jnp.tensordot(w, stacked, axes=1)
         return out.reshape((w.shape[0],) + stacked.shape[2:])
 
     return jax.tree.map(combine, *trees)

@@ -73,6 +73,8 @@ class MultiStylization:
         self.styles: List[StyleFeatures] = []
         self.stats: List[SeqStats] = []
         self._pad_hw = None
+        #: mesh-replicated (params, styles, stats), built lazily per Pass 1.
+        self._replicated = None
         cfg_ = self.cfg
         self._encode_style = jax.jit(lambda p, s: encode_style(p, s, cfg_))
         self._encode_content = jax.jit(
@@ -101,6 +103,7 @@ class MultiStylization:
     # -- style prep (384x384 resize convention, Multi-style .../test.py:52) --
 
     def prepare_styles(self, styles_bgr: Sequence[np.ndarray]) -> None:
+        self._replicated = None
         self.styles = [
             self._encode_style(self.params, jnp.asarray(bgr_to_model(s)))
             for s in styles_bgr
@@ -167,6 +170,7 @@ class MultiStylization:
         """Freeze per-style SeqStats from sampled cached features
         (SeqNormPrePare, ``Multi-style Interpolation/test.py:72-85``)."""
         iv = interval or self.infer.sample_interval
+        self._replicated = None
         n = feats.shape[0]
         # Reference sampling (``Multi-style Interpolation/test.py:72-84``):
         # (n-1)//iv + 1 interval frames, THEN the last frame again — the
@@ -206,6 +210,19 @@ class MultiStylization:
         h, w_ = self._orig_hw
         return model_to_bgr(np.asarray(crop_back(out, h, w_, self.infer.pad)))
 
+    def _replicated_state(self):
+        """(params, styles, stats) replicated over the mesh, cached —
+        re-broadcasting the full parameter set per bs-frame chunk would pay
+        one param transfer per chunk for call-invariant state.  Invalidated
+        by prepare_styles/prepare_global."""
+        if self._replicated is None:
+            from rerevst_tpu.parallel.mesh import replicated
+
+            self._replicated = jax.device_put(
+                (self.params, self.styles, self.stats),
+                replicated(self.mesh))
+        return self._replicated
+
     def transfer_batch(self, feats, weight_rows) -> List[np.ndarray]:
         """Decode a [B,...] feature batch, each frame under ITS OWN blend
         weights ([B, n_styles]), in ONE device call.
@@ -219,27 +236,22 @@ class MultiStylization:
         if w.shape != (n, len(self.styles)):
             raise ValueError(f"weights shape {w.shape} != "
                              f"({n}, {len(self.styles)})")
-        feats_in, w_in = feats, jnp.asarray(w)
         if self.mesh is not None and n > 1:
-            from rerevst_tpu.parallel.mesh import (
-                pad_to_multiple,
-                replicated,
-                sharded_batch,
-            )
+            from rerevst_tpu.parallel.mesh import pad_to_multiple, sharded_batch
 
             ndev = self.mesh.devices.size
-            fp, _ = pad_to_multiple(np.asarray(feats), ndev)
+            # pad_to_multiple keeps numpy numpy and device arrays on device
+            # (no D2H fetch of a device-resident batch just to pad it).
+            fp, _ = pad_to_multiple(feats, ndev)
             wp, _ = pad_to_multiple(w, ndev)
             sh = sharded_batch(self.mesh)
-            feats_in = jax.device_put(fp, sh)
-            w_in = jax.device_put(wp, sh)
-            params, styles, stats = jax.device_put(
-                (self.params, self.styles, self.stats), replicated(self.mesh))
-            out = self._transfer_batch(params, feats_in, styles, stats,
-                                       w_in)[:n]
+            params, styles, stats = self._replicated_state()
+            out = self._transfer_batch(params, jax.device_put(fp, sh),
+                                       styles, stats,
+                                       jax.device_put(wp, sh))[:n]
         else:
-            out = self._transfer_batch(self.params, feats_in, self.styles,
-                                       self.stats, w_in)
+            out = self._transfer_batch(self.params, feats, self.styles,
+                                       self.stats, jnp.asarray(w))
         h, w_ = self._orig_hw
         out = np.asarray(crop_back(out, h, w_, self.infer.pad),
                          dtype=np.float32)
@@ -293,15 +305,19 @@ class MultiStylization:
             # batch shape ever compiles.
             bs = max(int(batch_size), 1)
             for i in range(0, n, bs):
-                chunk = np.asarray(feats[i : i + bs])
+                # Slice in place: device-resident features stay on device
+                # (a np.asarray here would fetch every chunk D2H over the
+                # slow tunnel just to re-upload it); memmap slices convert
+                # on upload inside transfer_batch.
+                chunk = feats[i : i + bs]
                 rows = [list(r) for r in weights[i : i + bs]]
                 k = len(rows)
                 if k < bs and n > bs:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], bs - k, 0)])
+                    xp = np if isinstance(chunk, np.ndarray) else jnp
+                    chunk = xp.concatenate(
+                        [chunk] + [chunk[-1:]] * (bs - k))
                     rows += [rows[-1]] * (bs - k)
-                outs = self.transfer_batch(jnp.asarray(chunk), rows)
-                yield from outs[:k]
+                yield from self.transfer_batch(chunk, rows)[:k]
         finally:
             if tmp is not None:
                 for p in (tmp, tmp + ".meta.json"):

@@ -619,13 +619,14 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           max_frames: int = DEFAULT_MAX_FRAMES,
           batch_window_ms: float = 0.0,
           batch_max: int = 8, aot: str | None = None) -> ThreadingHTTPServer:
+    if aot and not use_global:
+        # Validate BEFORE the expensive model load/jit setup.
+        raise ValueError(
+            "--aot bundles export the global-mode Pass 2; with "
+            "--no-global the bundle would load but never be used")
     svc = StylizeService(checkpoint, dtype, mix, use_global,
                          batch_window_ms, batch_max)
     if aot:
-        if not use_global:
-            raise ValueError(
-                "--aot bundles export the global-mode Pass 2; with "
-                "--no-global the bundle would load but never be used")
         svc.session.use_aot(aot)
     server = ThreadingHTTPServer(
         (host, port),

@@ -59,7 +59,6 @@ def main(argv=None):
     from rerevst_tpu.profiling import enable_compile_cache
 
     enable_compile_cache()
-    import jax.numpy as jnp
 
     args = build_parser().parse_args(argv)
     use_global = not args.no_global

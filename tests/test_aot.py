@@ -123,7 +123,9 @@ def test_aot_falls_back_on_stats_structure_drift(session, tmp_path):
             filters={k: v.astype(jnp.bfloat16)
                      for k, v in sess.stats.filters.items()})
         out = np.asarray(sess._stylize(x1))  # ValueError inside -> jit
-        assert sess._aot_warned, "fallback should warn once"
+        assert sess._aot_warned, "fallback should warn"
+        assert sess._aot is None, ("a permanently-rejected bundle must be "
+                                   "dropped, not re-attempted per frame")
         assert out.shape == want.shape
     finally:
         sess.stats = orig_stats
