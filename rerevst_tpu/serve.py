@@ -5,6 +5,8 @@
 Endpoints (image payloads are encoded images — png/jpg — as request bodies):
 
   GET  /healthz            -> {"ok": true, "device": ...}
+  GET  /metrics            Prometheus text: uptime, per-endpoint request
+                           counters, open clip sessions, micro-batch totals
   POST /style              set the style image; resets sequence state
   POST /pass1?last=0|1     feed a sampled frame to Pass 1 (global stats);
                            last=1 finalizes (compute())
@@ -212,6 +214,12 @@ class StylizeService:
         self._checkpoint = checkpoint
         self._cfg = cfg
         self.multi = None
+        #: /metrics counters (endpoint family -> requests served).
+        import collections
+        import time
+
+        self.started = time.time()
+        self.requests = collections.Counter()
 
     def healthz(self):
         import jax
@@ -219,6 +227,35 @@ class StylizeService:
         return {"ok": True, "device": str(jax.devices()[0]),
                 "has_style": self.session.style is not None,
                 "has_stats": self.session.stats is not None}
+
+    def metrics(self) -> str:
+        """Prometheus text exposition of the service counters."""
+        import time
+
+        lines = [
+            "# TYPE rerevst_uptime_seconds gauge",
+            f"rerevst_uptime_seconds {time.time() - self.started:.1f}",
+            "# TYPE rerevst_requests_total counter",
+        ]
+        for ep, n in sorted(self.requests.items()):
+            lines.append(f'rerevst_requests_total{{endpoint="{ep}"}} {n}')
+        lines += [
+            "# TYPE rerevst_open_clip_sessions gauge",
+            f"rerevst_open_clip_sessions {len(self.clips)}",
+            "# TYPE rerevst_session_ready gauge",
+            f'rerevst_session_ready{{part="style"}} '
+            f"{int(self.session.style is not None)}",
+            f'rerevst_session_ready{{part="stats"}} '
+            f"{int(self.session.stats is not None)}",
+        ]
+        if self.batcher is not None:
+            lines += [
+                "# TYPE rerevst_microbatch_calls_total counter",
+                f"rerevst_microbatch_calls_total {self.batcher.n_calls}",
+                "# TYPE rerevst_microbatch_frames_total counter",
+                f"rerevst_microbatch_frames_total {self.batcher.n_frames}",
+            ]
+        return "\n".join(lines) + "\n"
 
     def set_style(self, img):
         with self.lock:
@@ -507,8 +544,12 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                 path, _, query = self.path.partition("?")
                 qs = dict(kv.split("=", 1) for kv in query.split("&")
                           if "=" in kv)
+                svc.requests[path.strip("/").split("/")[0] or "root"] += 1
                 if path.startswith("/healthz"):
                     return self._reply(200, svc.healthz())
+                if path == "/metrics":
+                    return self._reply(200, svc.metrics().encode(),
+                                       ctype="text/plain; version=0.0.4")
                 parts = path.strip("/").split("/")
                 if (len(parts) == 3 and parts[0] == "clip"
                         and parts[2] == "result"):
@@ -547,6 +588,7 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                 path, _, query = self.path.partition("?")
                 qs = dict(kv.split("=", 1) for kv in query.split("&")
                           if "=" in kv)
+                svc.requests[path.strip("/").split("/")[0] or "root"] += 1
                 if path == "/style":
                     svc.set_style(_imdecode(self._body()))
                     return self._reply(200, {"ok": True})

@@ -70,6 +70,24 @@ def test_healthz(server_url):
     assert data["ok"] is True
 
 
+def test_metrics_endpoint(server_url):
+    """GET /metrics: Prometheus text with uptime, request counters, and
+    session gauges; counters move with traffic."""
+    for _ in range(2):
+        urllib.request.urlopen(server_url + "/healthz", timeout=60).read()
+    with urllib.request.urlopen(server_url + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "rerevst_uptime_seconds" in text
+    assert "rerevst_open_clip_sessions 0" in text
+    import re
+
+    m = re.search(r'rerevst_requests_total\{endpoint="healthz"\} (\d+)',
+                  text)
+    assert m and int(m.group(1)) >= 2, text
+    assert 'rerevst_session_ready{part="style"}' in text
+
+
 def test_two_pass_protocol_over_http(server_url, clip):
     frames, style = clip
     s, _, _ = _post(server_url + "/style", _png(style))
