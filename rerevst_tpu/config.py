@@ -192,6 +192,15 @@ class TrainConfig:
     #: trades ~15% FLOPs for large activation-memory savings; enables big
     #: batches / 512^2 crops on one chip.
     remat: bool = False
+    #: Gradient accumulation: split each batch into this many micro-batches
+    #: inside ONE jitted step (lax.scan), averaging gradients before the
+    #: optimizer update — batch_size's effective memory shrinks ~accum-fold.
+    #: Per-sample-mean losses give the identical full-batch gradient; the
+    #: relaxed style loss selects its best inner iterate per MICRO-batch
+    #: (like training at the smaller batch with averaged grads).  Each
+    #: micro-batch draws its own PRNG fold for the compound-regularization
+    #: fake motion.
+    grad_accum: int = 1
 
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over this many devices (0 = "
                         "single-device); with multi-process flags the mesh "
                         "spans all hosts and batchSize is PER PROCESS")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each (per-device) batch into this many "
+                        "micro-batches inside one jitted step, averaging "
+                        "gradients — ~N-fold activation-memory savings at "
+                        "the same effective batch")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: jax.distributed coordinator "
                         "host:port (same on every process)")
@@ -140,7 +145,7 @@ def config_from_args(a) -> TrainConfig:
         style_data=a.style_data, out_dir=a.outf, val_dir=a.valf,
         log_dir=a.log_dir, train_only_decoder=a.train_only_decoder,
         use_mpi=a.use_mpi, use_video=a.use_video, d_init=a.init_type,
-        data_parallel=a.data_parallel,
+        data_parallel=a.data_parallel, grad_accum=a.grad_accum,
         loss=loss, model=model,
     )
 

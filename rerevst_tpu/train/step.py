@@ -166,17 +166,70 @@ def compute_losses(params: Dict, content, style, key, cfg: TrainConfig,
     return total, (metrics, aux)
 
 
+def _accum_loss_grads(params, cfg: TrainConfig, accum: int, content, style,
+                      key, extra=None):
+    """Gradient accumulation: mean loss grads over `accum` micro-batches via
+    ``lax.scan`` — one optimizer update's worth of gradient at ~1/accum the
+    activation memory.  Accumulates in fp32 (a low-precision running sum
+    would quantize every partial), casts back to the param dtype at the end.
+    Each micro-batch folds its own PRNG key (independent fake motion, like
+    separate loader steps)."""
+    b = content.shape[0]
+    if b % accum:
+        raise ValueError(
+            f"grad_accum {accum} must divide the batch; got batch {b}")
+    m = b // accum
+
+    def resh(a):
+        return a.reshape((accum, m) + a.shape[1:])
+
+    cs, ss = resh(content), resh(style)
+    ex = None if extra is None else jax.tree.map(resh, extra)
+    keys = jax.random.split(key, accum)
+
+    def body(g_acc, xs):
+        if ex is None:
+            c, s, k = xs
+            e = None
+        else:
+            c, s, k, e = xs
+
+        def loss_fn(p):
+            total, (metrics, _) = compute_losses(p, c, s, k, cfg, e)
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        g_acc = jax.tree.map(
+            lambda a, g: a + g.astype(jnp.float32), g_acc, grads)
+        return g_acc, metrics
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    xs = (cs, ss, keys) if ex is None else (cs, ss, keys, ex)
+    g_sum, metrics_stack = lax.scan(body, zeros, xs)
+    grads = jax.tree.map(
+        lambda g, p: (g / accum).astype(p.dtype), g_sum, params)
+    metrics = jax.tree.map(lambda v: jnp.mean(v, axis=0), metrics_stack)
+    return grads, metrics
+
+
 def make_train_step(cfg: TrainConfig, params_template: Dict):
     """Jitted (state, content, style, key) -> (state, metrics)."""
     opt = make_optimizer(cfg, params_template)
+    accum = max(int(getattr(cfg, "grad_accum", 1)), 1)
 
     @jax.jit
     def train_step(state: TrainState, content, style, key, extra=None):
-        def loss_fn(params):
-            return compute_losses(params, content, style, key, cfg, extra)
+        if accum > 1:
+            grads, metrics = _accum_loss_grads(state.params, cfg, accum,
+                                               content, style, key, extra)
+        else:
+            def loss_fn(params):
+                return compute_losses(params, content, style, key, cfg,
+                                      extra)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, _)), grads = grad_fn(state.params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, _)), grads = grad_fn(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
@@ -212,6 +265,12 @@ def make_adversarial_train_step(cfg: TrainConfig, params_template: Dict,
     mode = cfg.loss.gan_mode
     if mode not in ("lsgan", "vanilla", "wgangp"):
         raise ValueError(f"unknown gan_mode {mode!r}")
+    if getattr(cfg, "grad_accum", 1) > 1:
+        # The single-forward vjp structure shares `styled` between the D and
+        # G updates; micro-batching it is unimplemented — fail loudly rather
+        # than silently ignoring the flag.
+        raise ValueError("grad_accum > 1 is not supported with "
+                         "adversarial_loss; drop one of the two")
 
     @jax.jit
     def train_step(g_state: TrainState, d_state: TrainState, content, style,
@@ -269,19 +328,27 @@ def make_sharded_train_step(cfg: TrainConfig, params_template: Dict,
     had (SURVEY §5, communication backend row)."""
     opt = make_optimizer(cfg, params_template)
 
+    accum = max(int(getattr(cfg, "grad_accum", 1)), 1)
+
     def local_step(state: TrainState, content, style, key):
         # Per-device PRNG stream: fold in the device index so fake motion
         # differs across shards (like independent dataloader workers).
         idx = lax.axis_index(axis)
         key = jax.random.fold_in(key, idx)
 
-        def loss_fn(params):
-            total, (metrics, _) = compute_losses(params, content, style,
-                                                 key, cfg)
-            return total, metrics
+        if accum > 1:
+            # Micro-batch the PER-DEVICE shard, then pmean as usual —
+            # accumulation and data-parallelism compose.
+            grads, metrics = _accum_loss_grads(state.params, cfg, accum,
+                                               content, style, key)
+        else:
+            def loss_fn(params):
+                total, (metrics, _) = compute_losses(params, content, style,
+                                                     key, cfg)
+                return total, metrics
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         grads = lax.pmean(grads, axis)
         metrics = lax.pmean(metrics, axis)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)

@@ -189,6 +189,76 @@ def test_sharded_train_step_matches_single_device(train_setup, ndev):
 
 
 @pytest.mark.slow
+def test_grad_accum_matches_manual_microbatch_average(train_setup):
+    """grad_accum=2 on batch 8: the single jitted step's update must equal
+    an explicit two-micro-batch value_and_grad average (same per-chunk PRNG
+    folds) pushed through the same optimizer."""
+    import dataclasses
+
+    import optax
+
+    from rerevst_tpu.train.state import make_optimizer
+    from rerevst_tpu.train.step import compute_losses
+
+    cfg, params, content, style = train_setup
+    cfg2 = dataclasses.replace(cfg, grad_accum=2)
+    key = jax.random.PRNGKey(31)
+
+    step = make_train_step(cfg2, params)
+    s1, m1 = step(init_train_state(params, cfg2), content, style, key)
+
+    keys = jax.random.split(key, 2)
+    grads, mets = [], []
+    for i in range(2):
+        c, s = content[i * 4:(i + 1) * 4], style[i * 4:(i + 1) * 4]
+
+        def loss_fn(p):
+            total, (metrics, _) = compute_losses(p, c, s, keys[i], cfg2)
+            return total, metrics
+
+        (_, met), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads.append(g)
+        mets.append(met)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+    opt = make_optimizer(cfg2, params)
+    state0 = init_train_state(params, cfg2)
+    updates, _ = opt.update(g_mean, state0.opt_state, params)
+    want_params = optax.apply_updates(params, updates)
+
+    import jax.tree_util as jtu
+    for (pa, a), (_, b) in zip(jtu.tree_leaves_with_path(s1.params),
+                               jtu.tree_leaves_with_path(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5e-4, rtol=0,
+                                   err_msg=jtu.keystr(pa))
+    for k in m1:
+        want = (np.asarray(mets[0][k]) + np.asarray(mets[1][k])) / 2.0
+        np.testing.assert_allclose(np.asarray(m1[k]), want,
+                                   rtol=5e-4, atol=5e-6, err_msg=f"metric {k}")
+
+
+@pytest.mark.slow
+def test_grad_accum_composes_with_sharding_and_rejects_indivisible(
+        train_setup):
+    import dataclasses
+
+    cfg, params, content, style = train_setup
+    cfg2 = dataclasses.replace(cfg, grad_accum=2)
+    key = jax.random.PRNGKey(33)
+
+    # 2 devices x accum 2 over batch 8 -> per-device batch 4, chunks of 2.
+    sharded = make_sharded_train_step(cfg2, params, frame_mesh(2))
+    s, m = sharded(init_train_state(params, cfg2), content, style, key)
+    assert int(s.step) == 1
+    assert all(np.isfinite(np.asarray(v)).all() for v in m.values())
+
+    cfg3 = dataclasses.replace(cfg, grad_accum=3)
+    step3 = make_train_step(cfg3, params)
+    with pytest.raises(ValueError, match="must divide"):
+        step3(init_train_state(params, cfg3), content, style, key)
+
+
+@pytest.mark.slow
 def test_sharded_per_device_rng_distinct_flows(train_setup):
     """The sharded step folds `lax.axis_index` into the PRNG key: with
     temporal loss on and identical per-device sub-batches, each device must
