@@ -30,6 +30,10 @@ runs the constant-memory streaming pipeline, so server RAM is bounded too):
   POST /clip/open?interval=N          -> {"clip": token}
   POST /clip/<token>/frames           .npz chunk of frames -> {"received": n}
   POST /clip/<token>/finish           run the two-pass pipeline -> {"frames": n}
+       ...?async=1                    202 + background run (long clips would
+                                      hold one request open for minutes);
+                                      poll /status, /result 409s until done
+  GET  /clip/<token>/status           {"status", "progress", "done", "error"}
   GET  /clip/<token>/result?start=S&count=C  -> .npz of stylized frames [S, S+C)
   POST /clip/<token>/close            delete the session's spool
 
@@ -335,7 +339,8 @@ class StylizeService:
         now = time.monotonic()
         with self.lock:
             stale = [t for t, c in self.clips.items()
-                     if now - c["ts"] > self.CLIP_TTL_S]
+                     if now - c["ts"] > self.CLIP_TTL_S
+                     and c.get("status") != "running"]  # never mid-finish
             dead = [self.clips.pop(t) for t in stale]
         for clip in dead:
             shutil.rmtree(clip["dir"], ignore_errors=True)
@@ -384,8 +389,8 @@ class StylizeService:
 
         clip = self._clip(token)
         with clip["lock"]:
-            if clip["done"]:
-                raise RuntimeError("clip already finished")
+            if clip["done"] or clip.get("status") == "running":
+                raise RuntimeError("clip already finished or finishing")
             if clip["n"] + len(frames) > max_frames:
                 raise ValueError(
                     f"clip too long: {clip['n'] + len(frames)} frames > cap "
@@ -406,22 +411,48 @@ class StylizeService:
                 clip["n"] += 1
             return clip["n"]
 
-    def clip_finish(self, token: str) -> int:
+    def clip_finish(self, token: str, wait: bool = True) -> int:
         """Run the constant-memory two-pass pipeline over the spooled clip;
-        results stream to disk next to the spool."""
-        import os
+        results stream to disk next to the spool.
 
-        import cv2
-
-        from rerevst_tpu.config import InferenceConfig
-        from rerevst_tpu.data.source import PathsSource
-
+        ``wait=False`` (POST /clip/<t>/finish?async=1): start the pipeline
+        on a background thread and return immediately — a long clip would
+        otherwise hold one HTTP request open for the whole run, which
+        load balancers and client timeouts routinely kill.  Poll
+        GET /clip/<t>/status for progress; /result replies 409 until done."""
         clip = self._clip(token)
         with clip["lock"]:
             if clip["n"] == 0:
                 raise ValueError("empty clip")
             if clip["done"]:
                 return clip["n"]
+            if clip.get("status") == "running":
+                if wait:
+                    raise RuntimeError(
+                        "finish already running; poll /clip/<t>/status")
+                return clip["n"]  # idempotent async re-post
+            clip["status"] = "running"
+            clip["progress"] = 0
+            clip["error"] = None
+        if wait:
+            self._clip_run(clip)
+            if clip.get("status") == "error":
+                raise RuntimeError(clip["error"])
+            return clip["n"]
+        threading.Thread(target=self._clip_run, args=(clip,),
+                         daemon=True, name=f"clip-finish-{token}").start()
+        return clip["n"]
+
+    def _clip_run(self, clip) -> None:
+        import os
+        import time
+
+        import cv2
+
+        from rerevst_tpu.config import InferenceConfig
+        from rerevst_tpu.data.source import PathsSource
+
+        try:
             paths = [os.path.join(clip["dir"], f"frame_{i:06d}.png")
                      for i in range(clip["n"])]
             with self.lock:
@@ -434,8 +465,21 @@ class StylizeService:
                         self.session.stylize_video(PathsSource(paths))):
                     cv2.imwrite(os.path.join(clip["dir"],
                                              f"res_{i:06d}.png"), styled)
-            clip["done"] = 1
-            return clip["n"]
+                    clip["progress"] = i + 1
+                    clip["ts"] = time.monotonic()  # keep TTL pruning away
+            with clip["lock"]:
+                clip["done"] = 1
+                clip["status"] = "done"
+        except Exception as e:  # noqa: BLE001 — surfaced via /status
+            clip["error"] = f"{type(e).__name__}: {e}"
+            clip["status"] = "error"
+
+    def clip_status(self, token: str) -> dict:
+        clip = self._clip(token)
+        return {"frames": clip["n"], "done": bool(clip["done"]),
+                "status": clip.get("status", "open"),
+                "progress": clip.get("progress", 0),
+                "error": clip.get("error")}
 
     def clip_result(self, token: str, start: int, count: int):
         import os
@@ -552,6 +596,9 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                                        ctype="text/plain; version=0.0.4")
                 parts = path.strip("/").split("/")
                 if (len(parts) == 3 and parts[0] == "clip"
+                        and parts[2] == "status"):
+                    return self._reply(200, svc.clip_status(parts[1]))
+                if (len(parts) == 3 and parts[0] == "clip"
                         and parts[2] == "result"):
                     outs = svc.clip_result(parts[1],
                                            int(qs.get("start", "0")),
@@ -620,6 +667,10 @@ def make_handler(svc: StylizeService, max_body: int = DEFAULT_MAX_BODY_MB << 20,
                         n = svc.clip_frames(parts[1], frames, max_frames)
                         return self._reply(200, {"received": n})
                     if len(parts) == 3 and parts[2] == "finish":
+                        if qs.get("async") in ("1", "true"):
+                            n = svc.clip_finish(parts[1], wait=False)
+                            return self._reply(
+                                202, {"frames": n, "started": True})
                         n = svc.clip_finish(parts[1])
                         return self._reply(
                             200, {"frames": n,

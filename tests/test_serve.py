@@ -284,6 +284,80 @@ def test_chunked_clip_session_exceeds_body_cap(tmp_path_factory, clip):
         np.testing.assert_array_equal(a, b)
 
 
+def test_async_clip_finish_polls_to_done(tmp_path, clip):
+    """POST /clip/<t>/finish?async=1 returns 202 immediately; the pipeline
+    runs on a background thread, /status reports progress, and the result
+    matches the synchronous finish path."""
+    import time
+
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import serve
+
+    frames, style = clip
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    params["decoder"] = jax.tree.map(lambda a: a * 5.0, params["decoder"])
+    ckpt = str(tmp_path / "m.msgpack")
+    save_params(ckpt, params)
+    server = serve(ckpt, port=0, dtype="f32", max_frames=16)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+
+    def run_clip(async_mode: bool):
+        s, body, _ = _post(url + "/clip/open?interval=2", b"")
+        token = json.loads(body)["clip"]
+        bio = io.BytesIO()
+        np.savez_compressed(bio, **{f"f{i:05d}": f
+                                    for i, f in enumerate(frames)})
+        s, body, _ = _post(url + f"/clip/{token}/frames", bio.getvalue())
+        assert s == 200, body
+        if async_mode:
+            s, body, _ = _post(url + f"/clip/{token}/finish?async=1", b"")
+            assert s == 202, body
+            assert json.loads(body)["started"] is True
+            # Frames may not be appended once finishing started.
+            s, body, _ = _post(url + f"/clip/{token}/frames", bio.getvalue())
+            assert s == 409, body
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                with urllib.request.urlopen(
+                        url + f"/clip/{token}/status", timeout=60) as r:
+                    st = json.loads(r.read())
+                if st["status"] == "done":
+                    assert st["progress"] == len(frames)
+                    break
+                assert st["status"] in ("running", "done"), st
+                time.sleep(0.5)
+            else:
+                raise AssertionError("async finish never completed")
+        else:
+            s, body, _ = _post(url + f"/clip/{token}/finish", b"")
+            assert s == 200, body
+        with urllib.request.urlopen(
+                url + f"/clip/{token}/result?start=0&count=8",
+                timeout=600) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                outs = [z[k] for k in sorted(z.files)]
+        _post(url + f"/clip/{token}/close", b"")
+        return outs
+
+    try:
+        s, _, _ = _post(url + "/style", _png(style))
+        assert s == 200
+        sync_outs = run_clip(async_mode=False)
+        async_outs = run_clip(async_mode=True)
+    finally:
+        server.shutdown()
+    assert len(async_outs) == len(sync_outs) == len(frames)
+    for a, b in zip(async_outs, sync_outs):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stylize_before_style_is_409(tmp_path, clip):
     """Protocol-state violations are 409, not 500."""
     import jax
