@@ -105,6 +105,10 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="parity-packed boundary convs "
                          "(ModelConfig.parity_packed)")
+    ap.add_argument("--pairlane", action="store_true",
+                    help="pair-lane Pallas boundary-conv kernels "
+                         "(documented NEGATIVE result — beats the isolated "
+                         "conv 7.8 vs 13.9 ms, loses composed; see PERF.md)")
     ap.add_argument("--donate", action="store_true",
                     help="donate the frame-batch buffer to the hot call "
                          "(input and output are same-shape B,H,W,3 so XLA "
@@ -160,7 +164,8 @@ def main():
     dtype = dtype_from_name(args.dtype)
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision,
-                      parity_packed=args.packed)
+                      parity_packed=args.packed,
+                      pairlane=args.pairlane)
     h, w = padded_size(args.size, args.size)  # 512 -> 640x640
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
@@ -255,6 +260,7 @@ def main():
                   + ("" if args.tail == "none"
                      else f"+fp32mix:{args.tail}")
                   + ("+packed" if args.packed else "")
+                  + ("+pairlane" if args.pairlane else "")
                   + ("+donate" if args.donate else "")
                   + ("+sweep" if args.sweep_weights else "")),
         "device": str(jax.devices()[0]),

@@ -85,6 +85,18 @@ class ModelConfig:
     #: measurement table in PERF.md and models/layers.py.  Off by default;
     #: reproducible via ``bench.py --packed``.
     parity_packed: bool = False
+    #: Pair-lane Pallas kernels for the 640^2-class 64-channel boundary
+    #: convs (encoder conv1_2, decoder res2.conv2, out conv): two adjacent W
+    #: pixels fuse into the 128-lane dim so every MXU pass is fully dense in
+    #: BOTH contraction and output dims.  Kept as a documented NEGATIVE
+    #: result: the kernel beats XLA's ISOLATED conv 7.8 vs 13.9 ms (the
+    #: repo's first Pallas win) but loses composed — in-context XLA runs
+    #: these convs ~2x faster than their isolated microbenches (fusion +
+    #: layout freedom a custom call forfeits), 151 vs 248 fps end-to-end.
+    #: See PERF.md round-3 "pair-lane" section.  INFERENCE-ONLY (no VJP),
+    #: bf16/f16 only (f16 regions run in bf16 — Mosaic has no f16); the
+    #: fp32 parity path never touches it.  Off by default everywhere.
+    pairlane: bool = False
 
     def with_dtype(self, dtype) -> "ModelConfig":
         return dataclasses.replace(self, dtype=dtype)

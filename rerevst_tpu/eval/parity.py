@@ -118,6 +118,10 @@ def main(argv=None):
                     choices=["bf16", "f16", "f32"])
     ap.add_argument("--fast_precision", default="auto",
                     choices=["auto", "default", "high", "highest"])
+    ap.add_argument("--pairlane", action="store_true",
+                    help="measure the fast config WITH the pair-lane "
+                         "Pallas kernels (documented negative result — "
+                         "not part of the production config)")
     ap.add_argument("--fast_packed", action="store_true",
                     help="parity-packed boundary convs in the fast config")
     ap.add_argument("--fast_tail", default="none",
@@ -129,7 +133,8 @@ def main(argv=None):
     fast = ModelConfig(
         dtype=dtype_from_name(args.fast_dtype),
         precision=args.fast_precision, fp32_mix=args.fast_tail,
-        parity_packed=args.fast_packed)
+        parity_packed=args.fast_packed,
+        pairlane=args.pairlane)
     ref = ModelConfig(dtype=jnp.float32)  # auto -> HIGHEST (parity-proven)
     stats = compare_configs(args.checkpoint, fast, ref,
                             n_frames=args.frames,

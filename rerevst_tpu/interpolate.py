@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "out", "res2", "dec", "enc", "full", "body"],
                    help="with --dtype bf16: fp32-storage region "
                         "(ModelConfig.fp32_mix)")
+    p.add_argument("--pairlane", action="store_true",
+                   help="pair-lane Pallas boundary-conv kernels (documented "
+                        "NEGATIVE result: beats the isolated conv, loses "
+                        "composed — see PERF.md; bf16/f16 only)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard per-style Pass-1 collection over this many "
                         "devices (0 = single; Pass 2 is per-frame by the "
@@ -59,7 +63,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = ModelConfig(
         dtype=dtype_from_name(args.dtype),
-        fp32_mix=args.mix)
+        fp32_mix=args.mix,
+        pairlane=args.pairlane)
     infer = InferenceConfig(sample_interval=args.interval)
 
     mesh = None

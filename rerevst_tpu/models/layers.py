@@ -293,6 +293,39 @@ def upsample2x_conv3x3_packed(p, x, precision: Optional[lax.Precision] = None):
     return y
 
 
+# ---------------------------------------------------------------------------
+# W-pair-fused layout helpers (the pair-lane Pallas conv path — see
+# kernels/conv3x3.py:conv3x3_pairlane).  Layout: [B,H,W,64] viewed as
+# [B,H,W/2,128] with lanes = (w%2, c) — a CONTIGUOUS reshape in NHWC.
+# ---------------------------------------------------------------------------
+
+
+def tile_pair(v):
+    """Per-channel constants [..,C] -> W-pair-fused [..,2C] (same value for
+    both pixels of the pair)."""
+    return jnp.concatenate([v, v], axis=-1)
+
+
+def upsample_nearest_2x_pairfused(x):
+    """nearest_2x(x) emitted W-pair-fused: [B,H,W,C] -> [B,2H,W,2C].
+
+    Column pair (2w, 2w+1) of the upsampled image is x[..,w,:] twice — the
+    fused lanes are a duplicate — and rows repeat.  Equal to
+    ``upsample_nearest_2x(x).reshape(B,2H,W,2C)``, without the relayout."""
+    return jnp.repeat(jnp.concatenate([x, x], axis=-1), 2, axis=1)
+
+
+def unfuse_pairs(x, channels: int):
+    """W-pair-fused [B,H,W2,2C] -> [B,H,2*W2,C], keeping only `channels`
+    of each 64-lane half (the pair-lane kernels emit halves of 64)."""
+    b, h, w2, cl = x.shape
+    half = cl // 2
+    if channels == half:  # pure contiguous reshape
+        return x.reshape(b, h, 2 * w2, half)
+    y = jnp.stack([x[..., :channels], x[..., half:half + channels]], axis=3)
+    return y.reshape(b, h, 2 * w2, channels)
+
+
 def apply_dynamic_filter(x, filt, precision: Optional[lax.Precision] = None):
     """Per-sample predicted 1x1 conv: out = einsum('bhwq,bpq->bhwp').
 

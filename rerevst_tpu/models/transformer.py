@@ -49,8 +49,11 @@ from rerevst_tpu.models.layers import (
     linear,
     precision_for,
     tile_packed,
+    tile_pair,
+    unfuse_pairs,
     upsample2x_conv3x3,
     upsample2x_conv3x3_packed,
+    upsample_nearest_2x_pairfused,
 )
 from rerevst_tpu.ops.image import rgb_to_luma_reversed
 from rerevst_tpu.ops.resize import upsample_nearest_2x
@@ -225,7 +228,7 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
         return f.astype(cfg.dtype) if cfg.fp32_mix == "enc" else f
     return vgg.encode(params["encoder"], x.astype(cfg.dtype),
                       precision=precision_for(cfg.dtype, cfg.precision),
-                      packed=cfg.parity_packed)
+                      packed=cfg.parity_packed, pairlane=cfg.pairlane)
 
 
 def encode_style(params: Dict, style, cfg: ModelConfig) -> StyleFeatures:
@@ -410,6 +413,57 @@ def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     return xs + h
 
 
+def _tile_stats_pair(st: NormStats) -> NormStats:
+    """Frozen per-channel stats [1,1,1,C] -> W-pair-fused [1,1,1,2C]."""
+    return NormStats(tile_pair(st.mean), tile_pair(st.rstd),
+                     tile_pair(st.xmin), tile_pair(st.xmax))
+
+
+def _decode_tail_pairlane(params_dec: Dict, h, s1, m1, norms: Dict,
+                          cfg: ModelConfig):
+    """res2 + ada1 + out conv evaluated W-pair-fused, with the two
+    640^2-class convs (res2.conv2 64->64 and the out conv 64->3) as
+    pair-lane Pallas kernels (kernels/conv3x3.py).
+
+    Documented NEGATIVE result (off by default): the kernel beats the
+    ISOLATED conv 7.8 vs 13.9 ms, but the composed tail measured 24.7 vs
+    11.2 ms — in-context XLA fuses the norm/lrelu chain into its convs and
+    picks layouts a custom call forfeits (PERF.md round-3 pair-lane
+    section).  Kept in-tree, equality-tested: the region enters fused right
+    after res2.conv1 (contiguous reshape), elementwise ops run on
+    pair-tiled constants, the nearest-2x shortcut is emitted fused (lane
+    duplication), and the unfuse happens on the 3-channel output image.
+    f16 sessions run the region in bf16 (Mosaic has no f16).
+    """
+    from rerevst_tpu.kernels.conv3x3 import conv3x3_pairlane
+
+    prec = precision_for(cfg.dtype, cfg.precision)
+    p2 = params_dec["res2"]
+    f16 = h.dtype == jnp.float16
+
+    hh = upsample2x_conv3x3(p2["conv1"], h, precision=prec)  # [B,2H,2W,64]
+    if f16:
+        hh = hh.astype(jnp.bfloat16)
+    b, h2, w2, _ = hh.shape
+    hf = hh.reshape(b, h2, w2 // 2, 128)  # contiguous W-pair fuse
+
+    hf = _norm_apply(_tile_stats_pair(norms["res2a"]), leaky_relu(hf))
+    hf = conv3x3_pairlane(hf, p2["conv2"]["w"], p2["conv2"].get("b"),
+                          fused_io=True)
+    hf = _norm_apply(_tile_stats_pair(norms["res2b"]), leaky_relu(hf))
+
+    xsl = conv2d(p2["shortcut"], h, padding=0, precision=prec)
+    if f16:
+        xsl = xsl.astype(jnp.bfloat16)
+    hf = hf + upsample_nearest_2x_pairfused(xsl)
+
+    hf = (_norm_apply(_tile_stats_pair(norms["ada1"]), hf)
+          * tile_pair(s1).astype(hf.dtype) + tile_pair(m1).astype(hf.dtype))
+    of = conv3x3_pairlane(hf, params_dec["out"]["w"],
+                          params_dec["out"].get("b"), fused_io=True)
+    return unfuse_pairs(of, 3).astype(cfg.dtype)
+
+
 def _mix_cfg(cfg: ModelConfig) -> ModelConfig:
     """Config used inside the fp32 decoder tail (see ModelConfig.fp32_mix)."""
     import dataclasses
@@ -459,6 +513,12 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     elif tail == "body":
         h = h.astype(cfg.dtype)
     h = _norm_apply(norms["ada2"], h) * s2 + m2
+    if (cfg.pairlane and not cfg.parity_packed and tail == "none"
+            and cfg.dtype != jnp.float32
+            and h.shape[1] % 4 == 0 and h.shape[2] % 2 == 0):
+        # Pair-lane Pallas tail (inference-only fast path; the fp32 parity
+        # graph and every fp32_mix region keep the XLA convs).
+        return _decode_tail_pairlane(params_dec, h, s1, m1, norms, cfg)
     if cfg.parity_packed:
         # Parity-packed tail: res2's upsample-conv emits packed, every op
         # through the out conv stays packed, and the unpack happens on the

@@ -134,7 +134,45 @@ def vgg_features(params: Dict, x, upto: str = "relu4_1",
     )
 
 
-def encode(params: Dict, x, precision=None, packed: bool = False) -> jnp.ndarray:
+def encode_pairlane_ok(x) -> bool:
+    """Geometry gate for the pair-lane encoder head: even W (lane pairing)
+    and H divisible by the kernel's row tile."""
+    return x.shape[1] % 8 == 0 and x.shape[2] % 2 == 0
+
+
+def _encode_pairlane_head(params: Dict, x, precision):
+    """conv1_1 -> relu -> conv1_2 -> relu -> 2x2 maxpool with conv1_2 as the
+    pair-lane Pallas kernel (kernels/conv3x3.py).  Documented NEGATIVE
+    result (off by default): the kernel beats the ISOLATED conv 7.8 vs
+    13.9 ms, but in-context the whole head measured +11 ms vs the plain
+    path — XLA's fused in-context convs are ~2x their isolated microbench
+    (PERF.md round-3 pair-lane section).  The W-pair max of the pool IS the
+    lane-half max, so the unfuse costs nothing; f16 sessions run the region
+    in bf16 (Mosaic has no f16).  Returns the conv2_1 input (pool applied).
+    """
+    from jax import lax
+
+    from rerevst_tpu.kernels.conv3x3 import conv3x3_pairlane
+
+    f16 = x.dtype == jnp.float16
+    h = conv2d(params["conv1_1"], x, padding=1, precision=precision)
+    h = jnp.maximum(h, 0.0)
+    if f16:
+        h = h.astype(jnp.bfloat16)
+    b, hh, ww, _ = h.shape
+    h = h.reshape(b, hh, ww // 2, 128)  # contiguous W-pair fuse
+    p12 = params["conv1_2"]
+    h = conv3x3_pairlane(h, p12["w"].astype(h.dtype),
+                         p12.get("b"), fused_io=True)
+    h = jnp.maximum(h, 0.0)
+    h = jnp.maximum(h[..., :64], h[..., 64:])  # W half of the 2x2 pool
+    h = lax.reduce_window(h, -jnp.inf, lax.max, (1, 2, 1, 1),
+                          (1, 2, 1, 1), "VALID")  # H half
+    return h.astype(x.dtype) if f16 else h
+
+
+def encode(params: Dict, x, precision=None, packed: bool = False,
+           pairlane: bool = False) -> jnp.ndarray:
     """Content encoder: features through relu4_1, final map only
     (``test/style_network_global.py:271-281``).
 
@@ -144,6 +182,15 @@ def encode(params: Dict, x, precision=None, packed: bool = False) -> jnp.ndarray
     maxpool, which is exactly a max over parity groups.  Equal to the
     direct path up to fp reassociation; requires even H and W (the
     inference geometry is x64-padded, and raw video frames are even)."""
+    if pairlane and not packed and x.dtype != jnp.float32 \
+            and encode_pairlane_ok(x):
+        h = _encode_pairlane_head(params, x, precision)
+        for name, _, _ in VGG_CONVS[2:]:
+            if name in _POOL_BEFORE and name != "conv2_1":
+                h = max_pool_2x2(h)
+            h = conv2d(params[name], h, padding=1, precision=precision)
+            h = jnp.maximum(h, 0.0)
+        return h
     if not packed or x.shape[1] % 2 or x.shape[2] % 2:
         return vgg_features(params, x, "relu4_1", precision).relu4_1
     from rerevst_tpu.models.layers import (

@@ -194,7 +194,7 @@ class StylizeService:
 
     def __init__(self, checkpoint: str, dtype: str = "bf16", mix: str = "none",
                  use_global: bool = True, batch_window_ms: float = 0.0,
-                 batch_max: int = 8):
+                 batch_max: int = 8, pairlane: bool = False):
         import jax.numpy as jnp
 
         from rerevst_tpu.api import Stylization
@@ -202,7 +202,8 @@ class StylizeService:
 
         cfg = ModelConfig(
             dtype=dtype_from_name(dtype),
-            fp32_mix=mix)
+            fp32_mix=mix,
+            pairlane=pairlane)
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
         self.lock = threading.Lock()

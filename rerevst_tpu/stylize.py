@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ModelConfig.fp32_mix).  For a fast parity-passing "
                         "run use --dtype f16 (0.54e-3/pixel) — 'enc'/'dec' "
                         "alone FAIL the 1e-3 parity bar; see PERF.md")
+    p.add_argument("--pairlane", action="store_true",
+                   help="pair-lane Pallas boundary-conv kernels (documented "
+                        "NEGATIVE result: beats the isolated conv, loses "
+                        "composed — see PERF.md; bf16/f16 only)")
     p.add_argument("--ewarp", action="store_true",
                    help="also report the E_warp temporal-consistency metric "
                         "of the styled output (Farneback flow)")
@@ -65,7 +69,8 @@ def main(argv=None):
 
     cfg = ModelConfig(
         dtype=dtype_from_name(args.dtype),
-        fp32_mix=args.mix)
+        fp32_mix=args.mix,
+        pairlane=args.pairlane)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,
                             fps=args.fps)

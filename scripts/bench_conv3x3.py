@@ -48,6 +48,7 @@ def main():
     from rerevst_tpu.kernels.conv3x3 import (
         conv3x3_implicit_gemm,
         conv3x3_nine_shift,
+        conv3x3_pairlane,
     )
 
     B, S = args.batch, args.size
@@ -77,10 +78,28 @@ def main():
             return jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, 64 - O))) \
                 if O != 64 else y
 
-        for name, fn in (("direct", direct), ("nine_shift", nineshift),
-                         ("pallas_igemm", pallas)):
+        def pairlane(xx):
+            y = conv3x3_pairlane(xx, w, b, tile_h=args.tile_h)
+            return jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, 64 - O))) \
+                if O != 64 else y
+
+        def pairlane_fused(xf):
+            # fused-io chain: input AND output stay pair-fused [B,H,W/2,128]
+            # (for O=64 the fused output cols pos*64+o ARE the pair-fused
+            # layout), so the chain never pays a boundary reshape — the
+            # region-integration operating point.
+            return conv3x3_pairlane(xf, w, b, tile_h=args.tile_h,
+                                    fused_io=True)
+
+        forms = [("direct", direct, x), ("nine_shift", nineshift, x),
+                 ("pallas_igemm", pallas, x),
+                 ("pallas_pairlane", pairlane, x)]
+        if O == 64:
+            forms.append(("pallas_pairlane_fused", pairlane_fused,
+                          x.reshape(B, S, S // 2, 128)))
+        for name, fn, x0 in forms:
             try:
-                dt = chain_time(jax.jit(fn), x)
+                dt = chain_time(jax.jit(fn), x0)
                 results.append({
                     "shape": f"{S}^2x64->{O}", "form": name,
                     "ms": round(dt * 1e3, 2),

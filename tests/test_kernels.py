@@ -78,6 +78,55 @@ class TestConv3x3ImplicitGemm:
             conv3x3_implicit_gemm(x, w, tile_h=8, interpret=True)
 
 
+class TestConv3x3Pairlane:
+    """The pair-lane formulation (round 3): two adjacent W pixels fused into
+    the 128-lane dim, fully dense K and N.  Beats the ISOLATED XLA conv on
+    the real chip (7.8 vs 13.9 ms — first Pallas win in this repo) but
+    loses composed (PERF.md); kept exact and off by default."""
+
+    @pytest.mark.parametrize("shape_o", [((2, 16, 24, 64), 64),
+                                         ((1, 8, 16, 64), 3),
+                                         ((1, 8, 32, 64), 32)])
+    def test_matches_lax_conv(self, rng, shape_o):
+        from rerevst_tpu.kernels.conv3x3 import conv3x3_pairlane
+
+        shape, o = shape_o
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 64, o)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST) + b
+        got = conv3x3_pairlane(x, w, b, tile_h=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_fused_io_layout(self, rng):
+        """fused_io: [B,H,W/2,128] in, cols pos*64+o out — the region form."""
+        from rerevst_tpu.kernels.conv3x3 import conv3x3_pairlane
+        from rerevst_tpu.models.layers import unfuse_pairs
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 64)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 64, 64)).astype(np.float32) * 0.1)
+        want = conv3x3_pairlane(x, w, tile_h=8, interpret=True)
+        of = conv3x3_pairlane(x.reshape(1, 8, 8, 128), w, tile_h=8,
+                              interpret=True, fused_io=True)
+        got = unfuse_pairs(of, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+    def test_rejects_f16(self):
+        from rerevst_tpu.kernels.conv3x3 import conv3x3_pairlane
+
+        with pytest.raises(TypeError, match="f16"):
+            conv3x3_pairlane(jnp.zeros((1, 8, 16, 64), jnp.float16),
+                             jnp.zeros((3, 3, 64, 64), jnp.float16),
+                             interpret=True)
+
+
 class TestNormAffine:
     def test_matches_xla(self, rng):
         c = 64
