@@ -50,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "NEGATIVE result: beats the isolated conv, loses "
                         "composed — see PERF.md; bf16/f16 only)")
     p.add_argument("--ewarp", action="store_true",
-                   help="also report the E_warp temporal-consistency metric "
-                        "of the styled output (Farneback flow)")
+                   help="also report the temporal-consistency metrics of "
+                        "the styled output: E_warp (L1) and temporal SSIM "
+                        "(Farneback flow + occlusion masking)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard Pass 1/2 over this many devices (0 = single)")
     p.add_argument("--trace", default=None, metavar="DIR",
@@ -107,11 +108,14 @@ def main(argv=None):
     from rerevst_tpu.profiling import PhaseTimer, trace
 
     ewarp_acc = None
+    tssim_acc = None
     originals = None
     if args.ewarp:
         from rerevst_tpu.eval.ewarp import EwarpAccumulator
+        from rerevst_tpu.eval.ssim import TemporalSSIMAccumulator
 
         ewarp_acc = EwarpAccumulator()
+        tssim_acc = TemporalSSIMAccumulator()
         originals = iter(source)  # second lazy pass, one frame at a time
 
     video_writer = (None if args.no_video else vio.VideoWriter(
@@ -129,7 +133,9 @@ def main(argv=None):
                     if video_writer is not None:
                         video_writer.write(styled)
                     if ewarp_acc is not None:
-                        ewarp_acc.push(next(originals), styled)
+                        orig = next(originals)
+                        ewarp_acc.push(orig, styled)
+                        tssim_acc.push(orig, styled)
                     n_out += 1
     finally:
         if video_writer is not None:
@@ -141,6 +147,8 @@ def main(argv=None):
     if ewarp_acc is not None and ewarp_acc.pairs >= 1:
         report.update({k: round(v, 4) if isinstance(v, float) else v
                        for k, v in ewarp_acc.result().items()})
+        report.update({k: round(v, 4)
+                       for k, v in tssim_acc.result().items()})
     print(json.dumps(report))
 
 
