@@ -138,7 +138,9 @@ def main():
     # block on (or bogus-report against) the device.
     _acquire_devices_or_die()
     if args.batch is None:
-        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 32)
+        # 16 became the best 512p operating point in round 3: the paired
+        # out conv wins there (246 vs 242 fps at batch 32 — PERF.md).
+        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 16)
     if args.mode == "1080p":
         args.size = 1080
     if args.mode == "train":

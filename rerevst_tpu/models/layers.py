@@ -293,6 +293,35 @@ def upsample2x_conv3x3_packed(p, x, precision: Optional[lax.Precision] = None):
     return y
 
 
+def conv3x3_outpairs(p, x, precision: Optional[lax.Precision] = None):
+    """3x3 SAME conv emitting TWO adjacent output pixels per conv position:
+    a stride-(1,2) conv with a width-4 kernel whose 2*Cout channels are the
+    (w%2, o) pair — then a contiguous reshape back to [B,H,W,Cout].
+
+    Built for tiny-Cout layers where XLA's direct conv tiling degenerates:
+    the profiler trace shows the 640^2 x 64->3 OUT CONV fusion is the single
+    most expensive op of the whole pipeline (13.4 of 66.7 ms per batch-16
+    iteration, f16 — 20%).  The doubled output channels (6 vs 3) give the
+    lane dim twice the real work per window; measured in-context: 13.5 vs
+    14.8 ms (f16, batch 16).  Same contractions as the direct conv (each
+    tap duplicated per output parity), fp-identical up to reduction order.
+    Requires even W.
+    """
+    w = p["w"]  # [3,3,C,O]
+    C, O = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 4, C, 2 * O), w.dtype)
+    k = k.at[:, 0:3, :, 0:O].set(w)      # even output col: taps j = dx
+    k = k.at[:, 1:4, :, O:2 * O].set(w)  # odd output col:  taps j = dx + 1
+    b_, h_, w_, _ = x.shape
+    yf = lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 2), ((1, 1), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+    y = yf.reshape(b_, h_, w_, O)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # W-pair-fused layout helpers (the pair-lane Pallas conv path — see
 # kernels/conv3x3.py:conv3x3_pairlane).  Layout: [B,H,W,64] viewed as

@@ -41,6 +41,7 @@ from rerevst_tpu.models.layers import (
     apply_dynamic_filter,
     apply_dynamic_filter_3x3,
     conv2d,
+    conv3x3_outpairs,
     conv3x3_packed,
     depth_to_space_2x,
     init_conv_normal,
@@ -353,6 +354,9 @@ def decode(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig):
     if tail == "out":
         h = h.astype(jnp.float32)
     h = adain(h, m1, s1)
+    if _use_outpairs(cfg, tail, h):
+        # Paired-output out conv (see _use_outpairs / PERF.md round-3).
+        return conv3x3_outpairs(params_dec["out"], h, precision=prec)
     return conv2d(params_dec["out"], h, padding=1,
                   precision=precision_for(tcfg.dtype, tcfg.precision)
                   if tail != "none" else prec)
@@ -545,9 +549,28 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
     if tail == "out":
         h = h.astype(jnp.float32)
     h = _norm_apply(norms["ada1"], h) * s1 + m1
+    if _use_outpairs(cfg, tail, h):
+        return conv3x3_outpairs(params_dec["out"], h, precision=prec)
     return conv2d(params_dec["out"], h, padding=1,
                   precision=precision_for(tcfg.dtype, tcfg.precision)
                   if tail != "none" else prec)
+
+
+def _use_outpairs(cfg: ModelConfig, tail: str, h) -> bool:
+    """Static gate for the paired-output out conv (layers.conv3x3_outpairs).
+
+    The profiler trace shows the out-conv fusion is the pipeline's single
+    most expensive op (13.4 of 66.7 ms per batch-16 f16 iteration); the
+    paired form tiles its degenerate 3-channel output better — but only up
+    to a working-set size.  Measured end-to-end A/B (f16, 512p/1080p,
+    PERF.md round-3): +3.3%% fps at 6.5M output pixels (batch 16), +1%% at
+    5.9M, small win at batch 1, and −1.7..2%% at >=9.8M (batch 24/32,
+    1080p batch 8) where XLA's direct-conv tiling catches up.  Shapes are
+    static under jit, so the gate is free.
+    """
+    return (tail == "none" and cfg.dtype != jnp.float32
+            and h.shape[2] % 2 == 0
+            and h.shape[0] * h.shape[1] * h.shape[2] <= (1 << 23))
 
 
 # ---------------------------------------------------------------------------

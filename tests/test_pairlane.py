@@ -50,6 +50,25 @@ def test_pairfused_layout_helpers():
     assert want3.shape == got3.shape
 
 
+def test_conv3x3_outpairs_matches_conv2d():
+    """The paired-output out conv (pure XLA, the production low-precision
+    out-conv form) == direct conv2d at fp32-HIGHEST."""
+    from jax import lax
+
+    from rerevst_tpu.models.layers import conv2d, conv3x3_outpairs
+
+    rng = np.random.default_rng(0)
+    for (c, o, hw) in [(64, 3, (10, 16)), (64, 64, (8, 12)), (32, 5, (6, 20))]:
+        x = jnp.asarray(rng.standard_normal((2, *hw, c)), jnp.float32)
+        p = {"w": jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1,
+                              jnp.float32),
+             "b": jnp.asarray(rng.standard_normal(o), jnp.float32)}
+        want = conv2d(p, x, padding=1, precision=lax.Precision.HIGHEST)
+        got = conv3x3_outpairs(p, x, precision=lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
 def _setup(dtype, pairlane):
     cfg = ModelConfig(dtype=dtype, pairlane=pairlane)
     # NOTE: no x5 decoder scaling here — the scaled random init's predicted
