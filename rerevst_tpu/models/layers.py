@@ -119,7 +119,14 @@ def leaky_relu(x, slope: float = 0.2):
 
 
 def max_pool_2x2(x):
-    """MaxPool2d(kernel=2, stride=2) on NHWC."""
+    """MaxPool2d(kernel=2, stride=2) on NHWC.
+
+    reduce_window, deliberately: the reshape+max form (exact same 4-element
+    max) looked 26%% faster in a standalone harness but was a closure
+    artifact — on the real bench it is noise at batch 16/32 and a measured
+    0.65 ms REGRESSION at batch 1 (7.18 -> 7.83 ms/frame, the serving
+    operating point).  See PERF.md round-3 'explored and rejected'.
+    """
     return lax.reduce_window(
         x, -jnp.inf, lax.max,
         window_dimensions=(1, 2, 2, 1),
@@ -290,6 +297,24 @@ def upsample2x_conv3x3_packed(p, x, precision: Optional[lax.Precision] = None):
     y = jnp.concatenate(outs, axis=-1)
     if "b" in p:
         y = y + tile_packed(p["b"]).astype(x.dtype)
+    return y
+
+
+def upsample2x_conv1x1(p, x, precision: Optional[lax.Precision] = None):
+    """conv1x1(nearest_upsample_2x(x)) as ONE input-dilated conv with the
+    1x1 kernel spread to 2x2 (all four taps equal) — the shortcut-branch
+    analog of ``upsample2x_conv3x3``: the 2x-res nearest copy never exists
+    as a standalone broadcast (the trace prices that at 3.2 ms/batch-16)."""
+    w = p["w"]  # [1,1,Cin,Cout]
+    k = jnp.broadcast_to(w, (2, 2) + w.shape[2:])
+    y = lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
     return y
 
 

@@ -52,6 +52,7 @@ from rerevst_tpu.models.layers import (
     tile_packed,
     tile_pair,
     unfuse_pairs,
+    upsample2x_conv1x1,
     upsample2x_conv3x3,
     upsample2x_conv3x3_packed,
     upsample_nearest_2x_pairfused,
@@ -298,6 +299,10 @@ def _resblock(p, x, cfg: ModelConfig, upsample: bool = True):
     """
     prec = precision_for(cfg.dtype, cfg.precision)
     if upsample:
+        # NOT the dilated-conv shortcut of _resblock_global: this graph is
+        # differentiated in training, where the dilated conv's backward
+        # measured 3-4% slower per step (0.90->0.87 f32, 1.65->1.61 bf16);
+        # the broadcast's backward is a cheap 2x2 sum-reduce.
         xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
                                         precision=prec))
         h = upsample2x_conv3x3(p["conv1"], x, precision=prec)
@@ -406,10 +411,12 @@ def _kernel_filter_frozen(p, content, fa, fb, cfg: ModelConfig):
 def _resblock_global(p, x, sa: NormStats, sb: NormStats, cfg: ModelConfig):
     """ResidualBlock.forward with frozen norms
     (``test/style_network_global.py:111-122``); upsample folded into conv1
-    and hoisted below the shortcut as in ``_resblock``."""
+    and hoisted below the shortcut as in ``_resblock``; the shortcut's own
+    nearest-2x is a single input-dilated 1x1-spread conv
+    (``upsample2x_conv1x1`` — kills a 3.2 ms materialized broadcast the
+    round-3 profiler trace exposed; fp-exact, +3%% end-to-end)."""
     prec = precision_for(cfg.dtype, cfg.precision)
-    xs = upsample_nearest_2x(conv2d(p["shortcut"], x, padding=0,
-                                    precision=prec))
+    xs = upsample2x_conv1x1(p["shortcut"], x, precision=prec)
     h = upsample2x_conv3x3(p["conv1"], x, precision=prec)
     h = _norm_apply(sa, leaky_relu(h))
     h = conv2d(p["conv2"], h, padding=1, precision=prec)
@@ -672,8 +679,7 @@ def collect_stats(params_dec: Dict, x, style: StyleFeatures, cfg: ModelConfig,
         return hn * s + m
 
     def res_compute(h, p, ka, kb):
-        xs = upsample_nearest_2x(conv2d(p["shortcut"], h, padding=0,
-                                        precision=prec))
+        xs = upsample2x_conv1x1(p["shortcut"], h, precision=prec)
         t = upsample2x_conv3x3(p["conv1"], h, precision=prec)
         t, norms[ka] = _norm_compute(leaky_relu(t), cfgN, reduce_fns, mask)
         t = conv2d(p["conv2"], t, padding=1, precision=prec)
