@@ -123,26 +123,48 @@ def main():
                     help="frames per timed repetition")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--size", default="512",
+                    help="content size: N (square) or HxW — e.g. 1080x1920 "
+                         "(16:9), 436x1024 (the reference's ambush_4 "
+                         "fixture geometry)")
+    ap.add_argument("--outpairs", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="force the paired-output out-conv on/off (gate "
+                         "A/B on new geometries; 'auto' = the measured "
+                         "pixel-count gate)")
+    ap.add_argument("--no-luma-fold", action="store_true",
+                    help="disable the rank-1 desaturation fold into conv1_1 "
+                         "(ModelConfig.luma_fold) for A/B runs")
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "multistyle", "1080p",
-                             "latency", "parity"],
+                             "sintel", "latency", "parity", "quality"],
                     help="infer: 512p hot loop (headline); train: full train "
                          "step; multistyle: 2-style blended decode; 1080p: "
-                         "1080p inference; latency: batch-1 512p single-"
+                         "TRUE 1920x1080 inference (pads to 2048x1216); "
+                         "sintel: the reference fixture geometry 436x1024 "
+                         "(pads to 576x1152); latency: batch-1 512p single-"
                          "frame latency (the live-serving operating point); "
-                         "parity: bf16-vs-fp32 pixel error "
-                         "on the real ambush_4 fixture (handled above)")
+                         "parity: bf16-vs-fp32 pixel error on the real "
+                         "ambush_4 fixture (handled above); quality: E_warp "
+                         "+ temporal-SSIM on the fixture with the bundled "
+                         "trained checkpoint")
     args = ap.parse_args()
     # Probe AFTER parsing: --help / flag typos must answer instantly, not
     # block on (or bogus-report against) the device.
     _acquire_devices_or_die()
+    if args.mode == "quality":
+        bench_quality(args)
+        return
     if args.batch is None:
         # 16 became the best 512p operating point in round 3: the paired
         # out conv wins there (246 vs 242 fps at batch 32 — PERF.md).
-        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 16)
+        # True-1080p frames are ~6x a 512p frame (2048x1216 padded); the
+        # fixture's 436x1024 ~1.6x.
+        args.batch = {"1080p": 4, "sintel": 8, "latency": 1}.get(args.mode, 16)
     if args.mode == "1080p":
-        args.size = 1080
+        args.size = "1080x1920"
+    elif args.mode == "sintel":
+        args.size = "436x1024"
     if args.mode == "train":
         if args.dtype == "f16":
             args.dtype = "f32"  # f16 is inference storage, not a train dtype
@@ -167,8 +189,14 @@ def main():
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision,
                       parity_packed=args.packed,
-                      pairlane=args.pairlane)
-    h, w = padded_size(args.size, args.size)  # 512 -> 640x640
+                      pairlane=args.pairlane,
+                      outpairs=args.outpairs,
+                      luma_fold=not args.no_luma_fold)
+    if "x" in str(args.size):
+        ch, cw = (int(v) for v in str(args.size).split("x"))
+    else:
+        ch = cw = int(args.size)
+    h, w = padded_size(ch, cw)  # 512 -> 640x640; 1080x1920 -> 1216x2048
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
                                      with_loss_net=False)
@@ -247,14 +275,19 @@ def main():
     fps = 1.0 / best
     metric = {"infer": "frames_per_sec_512p",
               "multistyle": "frames_per_sec_512p_2style",
-              "1080p": "frames_per_sec_1080p",
+              "1080p": "frames_per_sec_1080p_true",
+              "sintel": "frames_per_sec_436x1024",
               "latency": "frames_per_sec_512p_batch1"}[args.mode]
+    if args.mode == "infer" and (ch, cw) != (512, 512):
+        metric = f"frames_per_sec_{ch}x{cw}"
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 200.0, 3),
         "batch_latency_ms": round(lat[0], 2),
+        "content_hw": [ch, cw],
+        "padded_hw": [h, w],
         "batch": args.batch,
         "dtype": (args.dtype
                   + ("" if args.precision == "auto"
@@ -264,7 +297,74 @@ def main():
                   + ("+packed" if args.packed else "")
                   + ("+pairlane" if args.pairlane else "")
                   + ("+donate" if args.donate else "")
-                  + ("+sweep" if args.sweep_weights else "")),
+                  + ("+sweep" if args.sweep_weights else "")
+                  + ("" if args.outpairs == "auto"
+                     else f"+outpairs:{args.outpairs}")
+                  + ("+nolumafold" if args.no_luma_fold else "")),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def bench_quality(args):
+    """Temporal-quality artifact (one JSON line, like the fps modes): E_warp
+    + warped-SSIM on the real ambush_4 fixture with the bundled trained
+    checkpoint, sequence-global vs per-frame — so quality regressions show
+    up across rounds exactly like perf regressions.  The numbers previously
+    lived only as hand-recorded entries in DEMO_RESULTS.json."""
+    import glob
+    import os
+
+    import cv2
+
+    from rerevst_tpu.api import Stylization
+    from rerevst_tpu.config import (
+        InferenceConfig,
+        ModelConfig,
+        dtype_from_name,
+    )
+    from rerevst_tpu.eval.ewarp import EwarpAccumulator
+    from rerevst_tpu.eval.ssim import TemporalSSIMAccumulator
+
+    fixture = os.environ.get("RV_FIXTURE", "/root/reference/test/inputs")
+    ckpt = os.environ.get(
+        "RV_CKPT", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "models", "demo_plum_4000.msgpack"))
+    paths = sorted(glob.glob(f"{fixture}/ambush_4/*.png"))
+    frames = [cv2.imread(p) for p in paths]
+    style = cv2.imread(f"{fixture}/plum_flower.jpg")
+    if args.quick:
+        frames = frames[:9]
+    cfg = ModelConfig(dtype=dtype_from_name(args.dtype))
+    results = {}
+    for mode in ("global", "per_frame"):
+        s = Stylization(checkpoint=ckpt, cfg=cfg,
+                        use_global=(mode == "global"),
+                        infer=InferenceConfig(batch_size=args.batch or 8,
+                                              use_global=(mode == "global")))
+        s.prepare_style(style)
+        ew, ts = EwarpAccumulator(), TemporalSSIMAccumulator()
+        for orig, styled in zip(frames,
+                                s.stylize_video(frames,
+                                                batch_size=args.batch or 8)):
+            ew.push(orig, styled)
+            ts.push(orig, styled)
+        results[mode] = {**ew.result(), **ts.result()}
+    g, p = results["global"], results["per_frame"]
+    print(json.dumps({
+        "metric": "ewarp_global_fixture",
+        "value": round(g["ewarp"], 4),
+        "unit": "masked pixel L1, lower is better",
+        # The behavioral contract (tested strictly in test_api.py): global
+        # feature sharing beats per-frame decoding by >=10% on E_warp.
+        "vs_baseline": round(p["ewarp"] / max(g["ewarp"], 1e-9), 4),
+        "ewarp_per_frame": round(p["ewarp"], 4),
+        "ewarp_control_unstyled": round(g["ewarp_control"], 4),
+        "tssim_global": round(g["tssim"], 4),
+        "tssim_per_frame": round(p["tssim"], 4),
+        "tssim_control_unstyled": round(g["tssim_control"], 4),
+        "pairs": g["pairs"],
+        "dtype": args.dtype,
+        "checkpoint": os.path.basename(ckpt),
         "device": str(jax.devices()[0]),
     }))
 

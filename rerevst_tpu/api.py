@@ -113,9 +113,13 @@ class Stylization:
         self.style: Optional[StyleFeatures] = None
         self.stats: Optional[SeqStats] = None
         self._patches: List[jnp.ndarray] = []
+        #: Host spool the add() buffer drains into above STREAMING_THRESHOLD
+        #: (device residency stays O(1) frames however many are added).
+        self._patch_spill: Optional[_FeatureSpill] = None
         self._pad_hw = None
         #: How the last Pass 1 collected its statistics:
-        #: 'batched' | 'streaming-spill' | 'streaming' | 'sharded'.
+        #: 'batched' | 'sharded' | 'streaming-spill' |
+        #: 'streaming-spill-sharded'.
         self.pass1_mode: Optional[str] = None
         #: Optional AOT bundle (io/aot.py) — preferred Pass-2 path when the
         #: frame geometry/batch matches one of its exported graphs.
@@ -154,11 +158,35 @@ class Stylization:
 
         if native.available():
             # Fused native BGR->RGB + normalize + reflect-pad (C++ runtime).
-            return jnp.asarray(native.preprocess(
+            return self._upload(native.preprocess(
                 frame_bgr, self._pad_hw[0], self._pad_hw[1], self.infer.pad))
-        x = jnp.asarray(bgr_to_model(frame_bgr))
-        return pad_reflect_multiple(x, self.infer.pad, self.infer.granularity,
-                                    self._pad_hw)
+        x = pad_reflect_multiple(bgr_to_model(frame_bgr), self.infer.pad,
+                                 self.infer.granularity, self._pad_hw)
+        return self._upload(x)
+
+    def _prep_batch_host(self, frames_bgr: Sequence[np.ndarray]) -> np.ndarray:
+        """Host-side prep of a same-geometry frame batch: BGR->normalized RGB
+        + reflect-pad, entirely on the host — ONE array out, ready for a
+        single upload.  Per-frame device_puts measured 10x slower through
+        the tunnel (PERF.md serving study); every batch path funnels here.
+        """
+        h, w = frames_bgr[0].shape[:2]
+        self._lock_geometry(h, w)
+        from rerevst_tpu.data import native
+
+        if native.available():
+            return native.preprocess_batch(
+                np.stack(frames_bgr), self._pad_hw[0], self._pad_hw[1],
+                self.infer.pad)
+        return pad_reflect_multiple(
+            np.concatenate([bgr_to_model(f) for f in frames_bgr], 0),
+            self.infer.pad, self.infer.granularity, self._pad_hw)
+
+    def _upload(self, x: np.ndarray) -> jnp.ndarray:
+        """The session's single H2D entry point (one call == one transfer);
+        tests assert on its call count to pin the one-upload-per-chunk
+        contract."""
+        return jnp.asarray(x)
 
     # ------------------------------------------------------------------
     # Reference-compatible surface
@@ -170,6 +198,9 @@ class Stylization:
 
     def clean(self) -> None:
         self._patches = []
+        if self._patch_spill is not None:
+            self._patch_spill.close()
+            self._patch_spill = None
         self.stats = None
         # Geometry re-locks on the next frame (a new clip may differ in size).
         self._pad_hw = None
@@ -181,41 +212,66 @@ class Stylization:
         (``test/generate_real_video.py:136-143`` vs the padded Pass-2 loop at
         ``:159-164``) — so the frozen statistics see only real content.
         """
-        x = jnp.asarray(bgr_to_model(frame_bgr))
+        x = self._upload(bgr_to_model(frame_bgr))
         self._patches.append(self._encode_content(self.params, x))
+        self._maybe_spill_patches()
 
-    #: Above this many sampled frames, single-chip Pass 1 switches to the
-    #: bounded-memory streaming collection (the batched pass materializes
-    #: every decoder activation for the whole sample batch at once).
+    #: Above this many sampled frames, Pass 1 switches to the bounded-memory
+    #: streaming collection (the batched pass materializes every decoder
+    #: activation for the whole sample batch at once), and add()'s feature
+    #: buffer spills to a host temp file (each encoded frame is ~13 MB of
+    #: device memory at 640^2 otherwise).
     STREAMING_THRESHOLD = 64
+
+    def _maybe_spill_patches(self) -> None:
+        """Drain the add() device buffer into the host spill once the sample
+        count crosses STREAMING_THRESHOLD — same composition prepare_global
+        uses (`streaming-spill[-sharded]`), so a 500-sample add() session has
+        the exact memory profile of a 500-sample prepare_global."""
+        if self._patch_spill is None:
+            if sum(p.shape[0] for p in self._patches) <= \
+                    self.STREAMING_THRESHOLD:
+                return
+            self._patch_spill = _FeatureSpill()
+        for p in self._patches:
+            self._patch_spill.append(np.asarray(p, np.float32))
+        self._patches = []
 
     def compute(self) -> None:
         """Pass 1 finish: freeze sequence statistics over buffered frames.
 
-        Strategy: sharded reductions on a mesh; streaming (bounded memory)
-        for very long sample sets; batched otherwise.
+        Strategy: above STREAMING_THRESHOLD the features are already in the
+        host spill — stream them through the bounded-memory collector, with
+        per-chunk reductions sharded over the mesh when one is attached
+        (`streaming-spill-sharded`, identical to prepare_global's long-clip
+        path).  Small sample sets stay on device: sharded reductions on a
+        mesh, one batched collect otherwise.
         """
         if self.style is None:
             raise RuntimeError("prepare_style first")
-        n = sum(p.shape[0] for p in self._patches)
+        if self._patch_spill is not None:
+            from rerevst_tpu.parallel.streaming import collect_stats_streaming
+
+            self._maybe_spill_patches()  # drain any tail still on device
+            try:
+                self.pass1_mode = ("streaming-spill" if self.mesh is None
+                                   else "streaming-spill-sharded")
+                self.stats = collect_stats_streaming(
+                    self.params["decoder"], self._patch_spill.memmap(),
+                    self.style, self.cfg,
+                    chunk_size=max(1, self.infer.pass1_chunk), mesh=self.mesh)
+            finally:
+                self._patch_spill.close()
+                self._patch_spill = None
+            return
+        feats = jnp.concatenate(self._patches, axis=0)
         if self.mesh is not None:
-            feats = jnp.concatenate(self._patches, axis=0)
             from rerevst_tpu.parallel import collect_stats_sharded
 
             self.pass1_mode = "sharded"
             self.stats = collect_stats_sharded(
                 self.params["decoder"], feats, self.style, self.cfg, self.mesh)
-        elif n > self.STREAMING_THRESHOLD:
-            from rerevst_tpu.parallel.streaming import collect_stats_streaming
-
-            feats_host = np.concatenate(
-                [np.asarray(p, np.float32) for p in self._patches], axis=0)
-            self.pass1_mode = "streaming"
-            self.stats = collect_stats_streaming(
-                self.params["decoder"], feats_host, self.style, self.cfg,
-                chunk_size=8)
         else:
-            feats = jnp.concatenate(self._patches, axis=0)
             self.pass1_mode = "batched"
             self.stats = self._collect(self.params, feats, self.style)
         self._patches = []
@@ -262,21 +318,10 @@ class Stylization:
         if not frames_bgr:
             return []
         n = len(frames_bgr)
-        h, w = frames_bgr[0].shape[:2]
-        self._lock_geometry(h, w)
-        from rerevst_tpu.data import native
-
-        if native.available():
-            xs = native.preprocess_batch(
-                np.stack(frames_bgr), self._pad_hw[0], self._pad_hw[1],
-                self.infer.pad)
-        else:
-            xs = pad_reflect_multiple(
-                np.concatenate([bgr_to_model(f) for f in frames_bgr], 0),
-                self.infer.pad, self.infer.granularity, self._pad_hw)
+        xs = self._prep_batch_host(frames_bgr)
         if pad_to > n:
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad_to - n, 0)])
-        outs = np.asarray(self._stylize(jnp.asarray(xs))[:n],
+        outs = np.asarray(self._stylize(self._upload(xs))[:n],
                           dtype=np.float32)
         return [self._post(outs[i : i + 1], f.shape[:2])
                 for i, f in enumerate(frames_bgr)]
@@ -355,8 +400,10 @@ class Stylization:
             def flush():
                 if not buf:
                     return
-                x = jnp.concatenate(
-                    [jnp.asarray(bgr_to_model(f)) for f in buf], axis=0)
+                # ONE host-side stack + ONE upload per chunk: Pass-1 frames
+                # are raw (unpadded, see `add`), so no reflect-pad here.
+                x = self._upload(
+                    np.concatenate([bgr_to_model(f) for f in buf], axis=0))
                 enc = self._encode_content(self.params, x)
                 if on_device:
                     feats_dev.append(enc)
@@ -448,12 +495,14 @@ class Stylization:
                     break
             if not chunk:
                 return None
-            x = jnp.concatenate([self._prep(f) for f in chunk], axis=0)
-            if x.shape[0] < bs and n > bs:
+            xs = self._prep_batch_host(chunk)
+            if xs.shape[0] < bs and n > bs:
                 # Keep the jitted shape stable on the ragged tail.
-                reps = bs - x.shape[0]
-                x = jnp.concatenate([x, jnp.repeat(x[-1:], reps, 0)], axis=0)
-            return x, len(chunk)
+                reps = bs - xs.shape[0]
+                xs = np.concatenate([xs, np.repeat(xs[-1:], reps, 0)], axis=0)
+            # ONE upload per chunk (per-frame device_puts each paid a tunnel
+            # round trip — the exact lesson transfer_batch measured).
+            return self._upload(xs), len(chunk)
 
         def _drain(pending):
             out_dev, count = pending

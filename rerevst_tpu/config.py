@@ -97,6 +97,22 @@ class ModelConfig:
     #: bf16/f16 only (f16 regions run in bf16 — Mosaic has no f16); the
     #: fp32 parity path never touches it.  Off by default everywhere.
     pairlane: bool = False
+    #: Fold the reversed-luma desaturation into conv1_1 (models/vgg.py:
+    #: encode_luma): the desaturated encoder input is an exact rank-1
+    #: (affine) image of one luma map, so conv1_1 collapses to a
+    #: 1-input-channel conv plus a batch-independent border-correction map —
+    #: 2/3 of conv1_1's FLOPs and the full-res 3-channel gray broadcast
+    #: gone, equal up to fp reassociation (tests/test_luma_fold.py).
+    #: Engages only on the low-precision inference path (desaturate=True,
+    #: dtype != fp32, fp32_mix == 'none', no packed/pairlane variants) so
+    #: the fp32-HIGHEST byte-level parity oracle is untouched.
+    luma_fold: bool = True
+    #: Paired-output out-conv gate override: 'auto' = the measured
+    #: pixel-count gate (models/transformer.py:_use_outpairs), 'on'/'off'
+    #: force it (subject to the correctness constraints: even W, low
+    #: precision) — for A/B-ing the gate on new geometries
+    #: (``bench.py --outpairs``).
+    outpairs: str = "auto"
 
     def with_dtype(self, dtype) -> "ModelConfig":
         return dataclasses.replace(self, dtype=dtype)

@@ -221,6 +221,19 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
     pixel-error source — see ModelConfig.fp32_mix); the returned features
     are cast back to cfg.dtype unless the decoder is fp32 too.
     """
+    if (desaturate and cfg.luma_fold and cfg.dtype != jnp.float32
+            and cfg.fp32_mix == "none" and not cfg.parity_packed
+            and not cfg.pairlane):
+        # Rank-1 fold: desaturation + conv1_1 collapse into a 1-channel conv
+        # (vgg.encode_luma) — exact up to fp reassociation, so it engages
+        # only on the fast path; the fp32 parity oracle keeps the reference
+        # op sequence bit-for-bit.
+        from rerevst_tpu.ops.image import rgb_to_luma01
+
+        g = rgb_to_luma01(frame).astype(cfg.dtype)
+        return vgg.encode_luma(params["encoder"], g,
+                               precision=precision_for(cfg.dtype,
+                                                       cfg.precision))
     x = rgb_to_luma_reversed(frame) if desaturate else frame
     if cfg.fp32_mix in ("enc", "full", "body") and cfg.dtype != jnp.float32:
         f = vgg.encode(params["encoder"], x.astype(jnp.float32),
@@ -573,11 +586,18 @@ def _use_outpairs(cfg: ModelConfig, tail: str, h) -> bool:
     PERF.md round-3): +3.3%% fps at 6.5M output pixels (batch 16), +1%% at
     5.9M, small win at batch 1, and −1.7..2%% at >=9.8M (batch 24/32,
     1080p batch 8) where XLA's direct-conv tiling catches up.  Shapes are
-    static under jit, so the gate is free.
+    static under jit, so the gate is free.  Re-measured on 16:9 geometry in
+    round 4 (true 1920x1080 and 436x1024 — PERF.md); ``cfg.outpairs``
+    forces it on/off for A/B runs, subject to the correctness constraints
+    (even W, low precision, no fp32 tail).
     """
-    return (tail == "none" and cfg.dtype != jnp.float32
-            and h.shape[2] % 2 == 0
-            and h.shape[0] * h.shape[1] * h.shape[2] <= (1 << 23))
+    legal = (tail == "none" and cfg.dtype != jnp.float32
+             and h.shape[2] % 2 == 0)
+    if cfg.outpairs == "off":
+        return False
+    if cfg.outpairs == "on":
+        return legal
+    return legal and h.shape[0] * h.shape[1] * h.shape[2] <= (1 << 23)
 
 
 # ---------------------------------------------------------------------------

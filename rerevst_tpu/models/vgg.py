@@ -134,6 +134,57 @@ def vgg_features(params: Dict, x, upto: str = "relu4_1",
     )
 
 
+def encode_luma(params: Dict, luma, precision=None) -> jnp.ndarray:
+    """Content encoder on the rank-1 (desaturated) input, conv1_1 folded.
+
+    The inference encoder always sees ``RGB2Gray(frame)`` (reference
+    ``test/style_network_global.py:487-501``) — every channel is an affine
+    image of ONE luma map g: ``x[..,c] = a_c*g + d_c`` with ``a_c = 1/std_c``,
+    ``d_c = -mean_c/std_c``.  Linearity of the conv then gives, exactly (up
+    to fp reassociation):
+
+        conv1_1(x) = conv3x3(g, w1) + conv3x3(ones, wd) + b
+        w1[..,0,o] = sum_c W[..,c,o]*a_c      (a 1-input-channel kernel)
+        wd[..,0,o] = sum_c W[..,c,o]*d_c      (the constant term)
+
+    The ones-conv is what zero padding does to the constant term: a 9-region
+    piecewise-constant border-correction map, batch-independent ([1,H,W,64],
+    ~1/(3B) of the folded conv's cost).  Net effect: 2/3 of conv1_1's FLOPs
+    and the full-resolution 3-channel gray broadcast's HBM traffic are gone.
+    `luma` is ``ops.image.rgb_to_luma01(frame)`` ([N,H,W,1], range [0,1] —
+    f16-safe).
+    """
+    from jax import lax
+
+    p = params["conv1_1"]
+    w = p["w"].astype(jnp.float32)  # [3,3,3,64]
+    from rerevst_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+    a = jnp.asarray(1.0 / IMAGENET_STD, jnp.float32)
+    d = jnp.asarray(-IMAGENET_MEAN / IMAGENET_STD, jnp.float32)
+    dt = luma.dtype
+    w1 = jnp.einsum("hwco,c->hwo", w, a)[:, :, None, :].astype(dt)
+    wd = jnp.einsum("hwco,c->hwo", w, d)[:, :, None, :].astype(dt)
+    dn = ("NHWC", "HWIO", "NHWC")
+    ones = jnp.ones((1,) + luma.shape[1:3] + (1,), dt)
+    border = lax.conv_general_dilated(
+        ones, wd, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        precision=precision)
+    h = lax.conv_general_dilated(
+        luma, w1, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        precision=precision)
+    h = h + border + p["b"].astype(dt)
+    h = jnp.maximum(h, 0.0)
+    for name, _, _ in VGG_CONVS[1:]:
+        if name in _POOL_BEFORE:
+            h = max_pool_2x2(h)
+        h = conv2d(params[name], h, padding=1, precision=precision)
+        h = jnp.maximum(h, 0.0)
+        if name == "conv4_1":
+            break
+    return h
+
+
 def encode_pairlane_ok(x) -> bool:
     """Geometry gate for the pair-lane encoder head: even W (lane pairing)
     and H divisible by the kernel's row tile."""

@@ -61,6 +61,21 @@ def rgb_to_luma_reversed(img):
     return normalize(gray3)
 
 
+def rgb_to_luma01(img):
+    """The reversed-luma map alone: normalized NHWC -> [N,H,W,1] in [0,1].
+
+    ``rgb_to_luma_reversed(img)[..., c] == (rgb_to_luma01(img) - mean_c) /
+    std_c`` — i.e. the desaturated image is an exact rank-1 (affine) function
+    of this single map.  The encoder exploits that to fold the desaturation
+    into conv1_1 (``models/vgg.py:encode_luma``): 1/3 the conv FLOPs and no
+    full-resolution 3-channel broadcast ever materializes.
+    """
+    rgb = denormalize(img)
+    return (
+        rgb[..., 2:3] * 0.299 + rgb[..., 1:2] * 0.587 + rgb[..., 0:1] * 0.114
+    )
+
+
 def padded_size(h: int, w: int, pad: int = 64, granularity: int = 64) -> Tuple[int, int]:
     """Target (H, W) after reflect-padding: +2*pad then round up to a multiple.
 

@@ -198,6 +198,72 @@ class TestChunkedPass1:
         got = s2.transfer(frames[1])
         assert got.shape == frames[1].shape and got.dtype == np.uint8
 
+    def test_add_compute_spills_like_prepare_global(self, fixture_frames):
+        """The reference-compat add()/compute() surface scales like
+        prepare_global: >STREAMING_THRESHOLD added frames spill encoded
+        features to the host temp file (bounded device residency) and
+        compute() streams them — with stats matching the batched path.
+        The reference keeps every sampled feature on the GPU until the
+        concat (test/style_network_global.py:471-478)."""
+        import dataclasses
+
+        frames, style = fixture_frames
+        params = _params()
+        many = [frames[i % len(frames)] for i in range(70)]  # > threshold=64
+        # pass1_chunk=1 makes the two pipelines bit-identical (same
+        # single-frame encode batches, same streaming chunking), so the
+        # oracle comparison is exact — no cross-ordering fp chaos (spill ==
+        # batched numerics are pinned by test_spill_path_matches_batched).
+        infer1 = dataclasses.replace(INFER, pass1_chunk=1)
+
+        s_ref = Stylization(params=params, cfg=CFG, use_global=True,
+                            infer=infer1)
+        s_ref.prepare_style(style)
+        s_ref.prepare_global(many)
+        assert s_ref.pass1_mode == "streaming-spill"
+        ref_out = s_ref.transfer(frames[1])
+
+        s = Stylization(params=params, cfg=CFG, use_global=True, infer=infer1)
+        s.prepare_style(style)
+        for i, f in enumerate(many):
+            s.add(f)
+            if i >= s.STREAMING_THRESHOLD:
+                # Device buffer drains into the spill past the threshold.
+                assert s._patch_spill is not None and not s._patches
+        assert s._patch_spill.n == len(many)
+        s.compute()
+        assert s.pass1_mode == "streaming-spill"
+        assert s._patch_spill is None  # spool released
+        for a, b in zip(jax.tree.leaves(s.stats),
+                        jax.tree.leaves(s_ref.stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        got = s.transfer(frames[1])
+        np.testing.assert_array_equal(got, ref_out)
+
+    def test_add_compute_mesh_routes_through_sharded_spill(self,
+                                                           fixture_frames,
+                                                           monkeypatch):
+        """A mesh session's compute() honors the threshold too: above it,
+        spilled chunks stream through SHARDED per-chunk reductions instead
+        of concatenating every patch onto the mesh (the old path OOMed a
+        500-sample session that prepare_global handled in O(chunk))."""
+        from rerevst_tpu.parallel import frame_mesh
+
+        frames, style = fixture_frames
+        monkeypatch.setattr(Stylization, "STREAMING_THRESHOLD", 2)
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER, mesh=frame_mesh(8))
+        s.prepare_style(style)
+        for f in frames:
+            s.add(f)
+        assert s._patch_spill is not None and not s._patches
+        s.compute()
+        assert s.pass1_mode == "streaming-spill-sharded"
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(s.stats))
+        got = s.transfer(frames[1])
+        assert got.shape == frames[1].shape and got.dtype == np.uint8
+
     def test_empty_input_raises_value_error(self, fixture_frames):
         """Both Pass-1 paths reject an empty frame stream with the same
         clean ValueError — including the unsized-iterator spill path, which
@@ -265,6 +331,27 @@ class TestConstantMemoryPipeline:
         # (c) double-buffered Pass 2: at most ~2 chunks + a ragged margin in
         # flight, regardless of clip length.
         assert src.max_ahead <= 3 * bs, src.max_ahead
+
+    def test_one_upload_per_chunk(self, fixture_frames):
+        """stylize_video pays exactly ONE H2D transfer per chunk on both
+        passes (host-side batch prep, then a single device_put).  Per-frame
+        uploads measured ~10x slower through the tunnel (PERF.md)."""
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        uploads = []
+        orig = s._upload
+        s._upload = lambda x: uploads.append(np.shape(x)) or orig(x)
+        n = len(frames)  # 5 frames, sample_interval=2 -> 3 Pass-1 samples
+        out = list(s.stylize_video(ListSource(frames), batch_size=2))
+        assert len(out) == n
+        pass1_chunks = 1          # 3 samples, pass1_chunk=8 -> one flush
+        pass2_chunks = (n + 1) // 2
+        assert len(uploads) == pass1_chunks + pass2_chunks, uploads
+        # Every upload is a whole batch, never a single preprocessed frame
+        # in a >1-frame chunk.
+        assert uploads[0][0] == 3  # the Pass-1 sample batch
 
     def test_streamed_output_matches_per_frame_transfer(self, fixture_frames):
         """Streaming Pass 2 pixels == sequential transfer() pixels."""
