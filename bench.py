@@ -135,6 +135,15 @@ def main():
     ap.add_argument("--no-luma-fold", action="store_true",
                     help="disable the rank-1 desaturation fold into conv1_1 "
                          "(ModelConfig.luma_fold) for A/B runs")
+    ap.add_argument("--inner-dtype", default="same",
+                    choices=["same", "bf16"],
+                    help="train mode: relaxed-loss inner-loop compute dtype "
+                         "(LossConfig.relaxed_inner_dtype) — 'bf16' runs the "
+                         "16 inner VGG fwd+bwd passes in bfloat16 with fp32 "
+                         "flow/loss bookkeeping")
+    ap.add_argument("--remat", action="store_true",
+                    help="train mode: rematerialize decoder activations in "
+                         "the backward pass (TrainConfig.remat)")
     ap.add_argument("--mode", default="infer",
                     choices=["infer", "train", "multistyle", "1080p",
                              "sintel", "latency", "parity", "quality"],
@@ -380,7 +389,10 @@ def bench_train(args):
     from rerevst_tpu.train.step import make_train_step
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cfg = TrainConfig(model=ModelConfig(dtype=dtype), loss=LossConfig())
+    cfg = TrainConfig(
+        model=ModelConfig(dtype=dtype),
+        loss=LossConfig(relaxed_inner_dtype=args.inner_dtype),
+        remat=args.remat)
     params = init_transformer_params(jax.random.PRNGKey(0), cfg.model,
                                      with_loss_net=True)
     state = init_train_state(params, cfg)
@@ -411,7 +423,10 @@ def bench_train(args):
         "unit": "steps/sec/chip",
         "vs_baseline": None,
         "step_ms": round(per * 1e3, 1),
-        "dtype": args.dtype,
+        "dtype": (args.dtype
+                  + ("" if args.inner_dtype == "same"
+                     else f"+inner:{args.inner_dtype}")
+                  + ("+remat" if args.remat else "")),
         "device": str(jax.devices()[0]),
     }))
 

@@ -183,6 +183,16 @@ class LossConfig:
     flow_lr: float = 16.0
     flow_momentum: float = 0.9
 
+    #: Compute dtype for the relaxed loss's 16-iteration inner flow
+    #: optimization ('same' = the model dtype; 'bf16' runs the inner VGG
+    #: fwd+bwd passes in bfloat16 with the flow/momentum/loss bookkeeping
+    #: kept fp32).  The inner loop only *selects* the warped style target
+    #: (it is fully stop-gradient'ed, ``train/style_networks.py:612-617``);
+    #: the final differentiable loss always runs at full model precision,
+    #: so this changes which flow is found, never the gradient structure.
+    #: See PERF.md (train roofline) for the measured speed/parity numbers.
+    relaxed_inner_dtype: str = "same"
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

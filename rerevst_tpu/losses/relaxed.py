@@ -60,11 +60,31 @@ def relaxed_style_loss(vgg_params, style_img, f_styled: VggFeatures,
     ori = style_loss(f_styled, f_style_gt, model_cfg.mean_std_eps)
     ori_sg = jax.lax.stop_gradient(ori)
 
+    # Optional bf16 inner loop (LossConfig.relaxed_inner_dtype): the 16 VGG
+    # fwd+bwd passes — the training step's dominant cost — run in bfloat16,
+    # while flow/momentum/best-loss bookkeeping, the smooth-flow transform,
+    # and the final differentiable loss below stay at full precision.  The
+    # inner loop is entirely stop-gradient'ed target *selection*, so this
+    # perturbs which flow wins, not the gradient path to the params.
+    inner_bf16 = (cfg.relaxed_inner_dtype == "bf16"
+                  and model_cfg.dtype != jnp.bfloat16)
+    if inner_bf16:
+        idt = jnp.bfloat16
+        vgg_inner = jax.tree.map(lambda a: a.astype(idt), vgg_sg)
+        style_inner = style_sg.astype(idt)
+        target_inner = jax.tree.map(lambda a: a.astype(idt), static_target)
+        prec_inner = None
+    else:
+        vgg_inner, style_inner, target_inner, prec_inner = (
+            vgg_sg, style_sg, static_target, prec)
+
     def inner_loss(flow):
         bounded = smooth_flow(flow, h, w, cfg.flow_max)
-        warped = flow_warp(style_sg, bounded, mode="bilinear")
-        feats = vgg_features(vgg_sg, warped, "relu4_1", prec)
-        return style_loss(static_target, feats, model_cfg.mean_std_eps), bounded
+        warped = flow_warp(style_inner, bounded.astype(style_inner.dtype),
+                           mode="bilinear")
+        feats = vgg_features(vgg_inner, warped, "relu4_1", prec_inner)
+        loss = style_loss(target_inner, feats, model_cfg.mean_std_eps)
+        return loss.astype(jnp.float32), bounded
 
     grad_fn = jax.value_and_grad(inner_loss, has_aux=True)
 
@@ -84,8 +104,8 @@ def relaxed_style_loss(vgg_params, style_img, f_styled: VggFeatures,
         best_iter = jnp.where(better, i, best_iter)
         return (flow, mom, best_flow, best_loss, best_iter), None
 
-    carry0 = (flow0, jnp.zeros_like(flow0), best_flow0, ori_sg,
-              jnp.asarray(-1, jnp.int32))
+    carry0 = (flow0, jnp.zeros_like(flow0), best_flow0,
+              ori_sg.astype(jnp.float32), jnp.asarray(-1, jnp.int32))
     (flow, _, best_flow, _, best_iter), _ = lax.scan(
         step, carry0, jnp.arange(cfg.flow_iter))
 

@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(train/other_networks.py:81-101; the reference "
                         "driver hardcodes lsgan)")
     p.add_argument("--oldWeight", type=float, default=10.0)
+    p.add_argument("--relaxed_inner_dtype", default="same",
+                   choices=["same", "bf16"],
+                   help="compute dtype for the relaxed loss's 16-iteration "
+                        "inner flow optimization; 'bf16' runs the inner VGG "
+                        "fwd+bwd in bfloat16 (flow/loss bookkeeping stays "
+                        "fp32) — the inner loop only selects the warped "
+                        "style target, see PERF.md train roofline")
 
     p.add_argument("--data_sigma", action="store_true")
     p.add_argument("--data_w", action="store_true")
@@ -131,6 +138,7 @@ def config_from_args(a) -> TrainConfig:
         gan_weight=a.ganWeight,
         gan_mode=a.gan_mode,
         old_weight=a.oldWeight,
+        relaxed_inner_dtype=a.relaxed_inner_dtype,
         data_sigma=a.data_sigma,
         data_w=a.data_w,
         noise_level=a.data_noise_level,

@@ -54,16 +54,26 @@ def adapter(src, shape, dtype):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--size", default="512",
+                    help="content size: N (square) or HxW (e.g. 1080x1920)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bf16",
                     choices=["bf16", "f16", "f32"])
+    ap.add_argument("--no-luma-fold", action="store_true")
+    ap.add_argument("--outpairs", default="auto",
+                    choices=["auto", "on", "off"])
     args = ap.parse_args()
 
     cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
-                             "f32": jnp.float32}[args.dtype])
+                             "f32": jnp.float32}[args.dtype],
+                      luma_fold=not args.no_luma_fold,
+                      outpairs=args.outpairs)
     prec = precision_for(cfg.dtype, cfg.precision)
-    h, w = padded_size(args.size, args.size)
+    if "x" in str(args.size):
+        ch, cw = (int(v) for v in str(args.size).split("x"))
+    else:
+        ch = cw = int(args.size)
+    h, w = padded_size(ch, cw)
     fh, fw = h // 8, w // 8
     b = args.batch
 

@@ -177,6 +177,70 @@ class TestRelaxedParity:
         assert abs(r_loss - float(t_rloss)) / max(float(t_rloss), 1e-6) < 5e-3
 
 
+class TestRelaxedInnerDtype:
+    def test_bf16_inner_close_and_grad_path_intact(self, params, images):
+        """relaxed_inner_dtype='bf16' runs the 16-iter target-selection loop
+        in bfloat16 but must (a) keep the full-precision ori loss bit-equal,
+        (b) land the final relaxed loss within a few % of the fp32 inner
+        loop (it may select a slightly different flow), and (c) leave the
+        gradient path w.r.t. the stylized features intact."""
+        content, style = images
+        mcfg = CFG
+        prec = jax.lax.Precision.HIGHEST
+        f_content = vgg.encode(params["encoder"], jnp.asarray(content), prec)
+        sf = encode_style(params, jnp.asarray(style), mcfg)
+        styled = decode(params["decoder"], f_content, sf, mcfg)
+        f_styled = vgg.vgg_features(params["vgg_loss"], styled, "relu4_1",
+                                    prec)
+
+        def run(lcfg):
+            def loss_fn(fs):
+                s_loss, ori, robust = relaxed_style_loss(
+                    params["vgg_loss"], jnp.asarray(style), fs, lcfg, mcfg)
+                return s_loss, (ori, robust)
+
+            (s_loss, (ori, robust)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(f_styled)
+            return float(s_loss), float(ori), np.asarray(robust), g
+
+        s32, ori32, rob32, g32 = run(LossConfig())
+        s16, ori16, rob16, g16 = run(LossConfig(relaxed_inner_dtype="bf16"))
+
+        # ori is computed OUTSIDE the inner loop at full precision: bit-equal.
+        assert ori32 == ori16
+        # The selected target differs only by bf16 selection noise.
+        assert abs(s16 - s32) / max(abs(s32), 1e-6) < 0.05
+        assert np.isfinite(rob16).all()
+        # Gradients flow and stay close (the robust target is stop-grad'ed,
+        # so only the style_loss(f_styled, target) path differs).
+        def gnorm(g):
+            return float(jnp.sqrt(sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)))
+                for x in jax.tree.leaves(g))))
+
+        n32, n16 = gnorm(g32), gnorm(g16)
+        assert n16 > 0 and abs(n16 - n32) / max(n32, 1e-9) < 0.1
+
+    def test_same_dtype_default_unchanged(self, params, images):
+        """The default 'same' config must be byte-identical to a LossConfig
+        that never heard of the field (regression pin for the new knob)."""
+        content, style = images
+        mcfg = CFG
+        prec = jax.lax.Precision.HIGHEST
+        f_content = vgg.encode(params["encoder"], jnp.asarray(content), prec)
+        sf = encode_style(params, jnp.asarray(style), mcfg)
+        styled = decode(params["decoder"], f_content, sf, mcfg)
+        f_styled = vgg.vgg_features(params["vgg_loss"], styled, "relu4_1",
+                                    prec)
+        a = relaxed_style_loss(params["vgg_loss"], jnp.asarray(style),
+                               f_styled, LossConfig(), mcfg)
+        b = relaxed_style_loss(params["vgg_loss"], jnp.asarray(style),
+                               f_styled, LossConfig(relaxed_inner_dtype="same"),
+                               mcfg)
+        assert float(a[0]) == float(b[0]) and float(a[1]) == float(b[1])
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
 class TestTrainStep:
     def test_step_updates_and_freezes(self, params, images):
         content, style = images
