@@ -132,9 +132,13 @@ def main():
                     help="force the paired-output out-conv on/off (gate "
                          "A/B on new geometries; 'auto' = the measured "
                          "pixel-count gate)")
-    ap.add_argument("--no-luma-fold", action="store_true",
-                    help="disable the rank-1 desaturation fold into conv1_1 "
-                         "(ModelConfig.luma_fold) for A/B runs")
+    ap.add_argument("--luma-fold", action="store_true",
+                    help="enable the rank-1 desaturation fold into conv1_1 "
+                         "(ModelConfig.luma_fold) — documented NEGATIVE "
+                         "result, off by default: the MXU pads input "
+                         "channels to the tile minimum so C_in 3->1 saves "
+                         "nothing; measured 247.7 vs 252.2 fps @512p "
+                         "(PERF.md round 4)")
     ap.add_argument("--inner-dtype", default="same",
                     choices=["same", "bf16"],
                     help="train mode: relaxed-loss inner-loop compute dtype "
@@ -167,9 +171,10 @@ def main():
     if args.batch is None:
         # 16 became the best 512p operating point in round 3: the paired
         # out conv wins there (246 vs 242 fps at batch 32 — PERF.md).
-        # True-1080p frames are ~6x a 512p frame (2048x1216 padded); the
-        # fixture's 436x1024 ~1.6x.
-        args.batch = {"1080p": 4, "sintel": 8, "latency": 1}.get(args.mode, 16)
+        # True-1080p: batch 4 HALVED per-pixel throughput (17.6 fps,
+        # 44 Mpix/s — the chip sat half idle); batch 8 restores the full
+        # 90 Mpix/s rate (36.1 fps, round-4 isolation matrix in PERF.md).
+        args.batch = {"1080p": 8, "sintel": 8, "latency": 1}.get(args.mode, 16)
     if args.mode == "1080p":
         args.size = "1080x1920"
     elif args.mode == "sintel":
@@ -200,7 +205,7 @@ def main():
                       parity_packed=args.packed,
                       pairlane=args.pairlane,
                       outpairs=args.outpairs,
-                      luma_fold=not args.no_luma_fold)
+                      luma_fold=args.luma_fold)
     if "x" in str(args.size):
         ch, cw = (int(v) for v in str(args.size).split("x"))
     else:
@@ -309,7 +314,7 @@ def main():
                   + ("+sweep" if args.sweep_weights else "")
                   + ("" if args.outpairs == "auto"
                      else f"+outpairs:{args.outpairs}")
-                  + ("+nolumafold" if args.no_luma_fold else "")),
+                  + ("+lumafold" if args.luma_fold else "")),
         "device": str(jax.devices()[0]),
     }))
 

@@ -101,12 +101,17 @@ class ModelConfig:
     #: encode_luma): the desaturated encoder input is an exact rank-1
     #: (affine) image of one luma map, so conv1_1 collapses to a
     #: 1-input-channel conv plus a batch-independent border-correction map —
-    #: 2/3 of conv1_1's FLOPs and the full-res 3-channel gray broadcast
-    #: gone, equal up to fp reassociation (tests/test_luma_fold.py).
-    #: Engages only on the low-precision inference path (desaturate=True,
-    #: dtype != fp32, fp32_mix == 'none', no packed/pairlane variants) so
-    #: the fp32-HIGHEST byte-level parity oracle is untouched.
-    luma_fold: bool = True
+    #: nominally 2/3 of conv1_1's FLOPs and the full-res 3-channel gray
+    #: broadcast gone, equal up to fp reassociation (tests/test_luma_fold.py).
+    #: Kept as a documented NEGATIVE result (round-4 A/B on the real chip,
+    #: PERF.md): 247.7 vs 252.2 fps @512p, 17.59 vs 17.70 @true-1080p,
+    #: 133.1 vs 135.8 @436x1024 — the MXU pads input channels to the tile
+    #: minimum, so C_in 3->1 saves no real passes, while the ones-conv
+    #: border map + full-res correction add cost real HBM traffic.  Gated
+    #: to the low-precision inference path (desaturate=True, dtype != fp32,
+    #: fp32_mix == 'none', no packed/pairlane) so the fp32-HIGHEST parity
+    #: oracle never sees it even when enabled.
+    luma_fold: bool = False
     #: Paired-output out-conv gate override: 'auto' = the measured
     #: pixel-count gate (models/transformer.py:_use_outpairs), 'on'/'off'
     #: force it (subject to the correctness constraints: even W, low

@@ -99,15 +99,17 @@ class TestGate:
         orig = vgg.encode_luma
         monkeypatch.setattr(vgg, "encode_luma",
                             lambda *a, **k: calls.append(1) or orig(*a, **k))
-        encode_content(params, img, ModelConfig(dtype=jnp.float32))
-        assert not calls  # fp32 parity path: reference op sequence untouched
-        encode_content(params, img, ModelConfig(dtype=jnp.bfloat16))
-        assert calls  # fast path folds
-        calls.clear()
         encode_content(params, img,
-                       ModelConfig(dtype=jnp.bfloat16, luma_fold=False))
-        assert not calls  # opt-out respected
-        encode_content(params, img, ModelConfig(dtype=jnp.bfloat16),
+                       ModelConfig(dtype=jnp.float32, luma_fold=True))
+        assert not calls  # fp32 parity path: reference op sequence untouched
+        encode_content(params, img,
+                       ModelConfig(dtype=jnp.bfloat16, luma_fold=True))
+        assert calls  # low-precision path folds when opted in
+        calls.clear()
+        encode_content(params, img, ModelConfig(dtype=jnp.bfloat16))
+        assert not calls  # default OFF (measured negative, see config.py)
+        encode_content(params, img,
+                       ModelConfig(dtype=jnp.bfloat16, luma_fold=True),
                        desaturate=False)
         assert not calls  # color (training) input: nothing to fold
 
