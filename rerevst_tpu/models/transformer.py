@@ -585,11 +585,15 @@ def _use_outpairs(cfg: ModelConfig, tail: str, h) -> bool:
     to a working-set size.  Measured end-to-end A/B (f16, 512p/1080p,
     PERF.md round-3): +3.3%% fps at 6.5M output pixels (batch 16), +1%% at
     5.9M, small win at batch 1, and −1.7..2%% at >=9.8M (batch 24/32,
-    1080p batch 8) where XLA's direct-conv tiling catches up.  Shapes are
-    static under jit, so the gate is free.  Re-measured on 16:9 geometry in
-    round 4 (true 1920x1080 and 436x1024 — PERF.md); ``cfg.outpairs``
-    forces it on/off for A/B runs, subject to the correctness constraints
-    (even W, low precision, no fp32 tail).
+    1080p batch 8) where XLA's direct-conv tiling catches up.  Round-4
+    re-measurement on 16:9 (PERF.md "Real video geometry"): at the fixture's
+    576x1152 batch 8 — 5.3M output pixels, inside the round-3 pixel gate —
+    the paired form LOSES 2.2% (133.1 vs 136.1 fps), while square 640² at
+    the same pixel count wins 3.3%; wide rows already feed XLA's direct
+    lowering full 128-lane tiles, so the gate additionally requires padded
+    W <= 1024.  Shapes are static under jit, so the gate is free.
+    ``cfg.outpairs`` forces it on/off for A/B runs, subject to the
+    correctness constraints (even W, low precision, no fp32 tail).
     """
     legal = (tail == "none" and cfg.dtype != jnp.float32
              and h.shape[2] % 2 == 0)
@@ -597,7 +601,8 @@ def _use_outpairs(cfg: ModelConfig, tail: str, h) -> bool:
         return False
     if cfg.outpairs == "on":
         return legal
-    return legal and h.shape[0] * h.shape[1] * h.shape[2] <= (1 << 23)
+    return (legal and h.shape[2] <= 1024
+            and h.shape[0] * h.shape[1] * h.shape[2] <= (1 << 23))
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,18 @@ def main():
 
     results = {}
 
+    def record(name, fn, *fnargs):
+        """Time one phase, print it IMMEDIATELY (the tunnel's remote-compile
+        service can die on any one large module — one lost phase must not
+        lose the ones already measured)."""
+        try:
+            v = time_fn(fn, *fnargs, iters=args.iters)["per_call_s"]
+            results[name] = v
+            print(json.dumps({name + "_ms": round(v * 1e3, 1)}), flush=True)
+        except Exception as e:  # noqa: BLE001 — report and keep profiling
+            print(json.dumps({name: ("FAILED: " + repr(e))[:300]}),
+                  flush=True)
+
     # ---- the production step (fwd + bwd + Adam), the number to decompose
     state = init_train_state(params, cfg)
     step = make_train_step(cfg, params)
@@ -107,6 +119,9 @@ def main():
     t1 = min(chain_step(1) for _ in range(3))
     tn = min(chain_step(args.iters) for _ in range(3))
     results["full_step(fwd+bwd+adam)"] = (tn - t1) / max(args.iters - 1, 1)
+    print(json.dumps({"full_step(fwd+bwd+adam)_ms":
+                      round(results["full_step(fwd+bwd+adam)"] * 1e3, 1)}),
+          flush=True)
 
     # ---- forward only
     @jax.jit
@@ -114,8 +129,7 @@ def main():
         total, _ = compute_losses(params, c, style, key, cfg)
         return adapter(total, c)
 
-    results["loss_forward"] = time_fn(fwd, content, iters=args.iters)[
-        "per_call_s"]
+    record("loss_forward", fwd, content)
 
     # ---- forward + backward (no optimizer)
     @jax.jit
@@ -127,8 +141,7 @@ def main():
         leaves = [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(g)]
         return adapter(jnp.stack(leaves), c)
 
-    results["loss_fwd+bwd"] = time_fn(fwd_bwd, content, iters=args.iters)[
-        "per_call_s"]
+    record("loss_fwd+bwd", fwd_bwd, content)
 
     # ---- phase: content/style encode + styled decode (primal graph head)
     @jax.jit
@@ -138,8 +151,7 @@ def main():
         styled = decode(params["decoder"], f_content, sf, mcfg)
         return adapter(styled, c)
 
-    results["encode+style_enc+decode"] = time_fn(
-        head, content, iters=args.iters)["per_call_s"]
+    record("encode+style_enc+decode", head, content)
 
     # shared primals for the isolated loss phases
     f_content = vgg.encode(params["encoder"], content, prec)
@@ -156,8 +168,7 @@ def main():
                                 prec)
         return adapter(content_loss(f_styled, f_gt), c)
 
-    results["lossnet_feats+content"] = time_fn(
-        lossnet, content, iters=args.iters)["per_call_s"]
+    record("lossnet_feats+content", lossnet, content)
 
     # ---- phase: the 16-iteration relaxed inner loop (the reference's
     # dominant cost: 16 x VGG fwd+bwd, style_networks.py:594-654)
@@ -169,8 +180,7 @@ def main():
             params["vgg_loss"], style + 0 * c, f_styled, lcfg, mcfg)
         return adapter(s_loss + ori, c)
 
-    results[f"relaxed_inner_x{lcfg.flow_iter}"] = time_fn(
-        relaxed, content, iters=args.iters)["per_call_s"]
+    record(f"relaxed_inner_x{lcfg.flow_iter}", relaxed, content)
 
     # ---- phase: recon (1 gray-style encode + 2 decodes + L1)
     @jax.jit
@@ -182,8 +192,7 @@ def main():
         r = jnp.mean(jnp.abs(rc - c)) + jnp.mean(jnp.abs(rs - style))
         return adapter(r, c)
 
-    results["recon(2dec+1enc)"] = time_fn(recon, content, iters=args.iters)[
-        "per_call_s"]
+    record("recon(2dec+1enc)", recon, content)
 
     # ---- phase: temporal (fake flow/data + encode + decode + warped L1)
     @jax.jit
@@ -195,8 +204,7 @@ def main():
                                   use_warp=lcfg.data_w)
         return adapter(t_loss + tv_loss(styled), c)
 
-    results["temporal+tv"] = time_fn(temporal, content, iters=args.iters)[
-        "per_call_s"]
+    record("temporal+tv", temporal, content)
 
     # ---- phase: Adam update alone
     opt = make_optimizer(cfg, params)
@@ -211,10 +219,9 @@ def main():
                   for x in jax.tree.leaves(updates)]
         return adapter(jnp.stack(leaves), c)
 
-    results["adam_update"] = time_fn(adam, content, iters=args.iters)[
-        "per_call_s"]
+    record("adam_update", adam, content)
 
-    full = results["full_step(fwd+bwd+adam)"]
+    full = results.get("full_step(fwd+bwd+adam)", float("nan"))
     print(json.dumps({
         "batch": b, "size": s, "dtype": args.dtype,
         "remat": args.remat, "inner_dtype": args.inner_dtype,

@@ -69,6 +69,36 @@ def test_conv3x3_outpairs_matches_conv2d():
                                    atol=2e-5)
 
 
+def test_use_outpairs_gate_geometry():
+    """The paired-out-conv static gate, pinned to the round-3/4 measured
+    operating points (PERF.md "Real video geometry"): pixel count <= 2^23
+    AND padded W <= 1024 (16:9 recalibration — the paired form loses 2.2%
+    at 576x1152 batch 8 despite sitting inside the pixel gate)."""
+    from rerevst_tpu.models.transformer import _use_outpairs
+
+    f16 = ModelConfig(dtype=jnp.float16)
+
+    def mk(n, h, w):
+        return np.zeros((n, h, w, 64), np.float16)
+
+    assert _use_outpairs(f16, "none", mk(16, 640, 640))       # 512p b16
+    assert _use_outpairs(f16, "none", mk(1, 640, 640))        # latency b1
+    assert not _use_outpairs(f16, "none", mk(8, 576, 1152))   # fixture 16:9
+    assert not _use_outpairs(f16, "none", mk(8, 1216, 2048))  # true 1080p
+    assert not _use_outpairs(f16, "none", mk(32, 640, 640))   # > 2^23 px
+    # correctness constraints: fp32 / fp32 tail / odd W are never paired
+    assert not _use_outpairs(ModelConfig(dtype=jnp.float32), "none",
+                             mk(16, 640, 640))
+    assert not _use_outpairs(f16, "out", mk(16, 640, 640))
+    on = ModelConfig(dtype=jnp.float16, outpairs="on")
+    assert not _use_outpairs(on, "none",
+                             np.zeros((1, 64, 63, 64), np.float16))
+    # forced on/off for A/B runs overrides the measured gate (not legality)
+    assert _use_outpairs(on, "none", mk(8, 576, 1152))
+    assert not _use_outpairs(ModelConfig(dtype=jnp.float16, outpairs="off"),
+                             "none", mk(16, 640, 640))
+
+
 def _setup(dtype, pairlane):
     cfg = ModelConfig(dtype=dtype, pairlane=pairlane)
     # NOTE: no x5 decoder scaling here — the scaled random init's predicted
