@@ -139,6 +139,15 @@ def main():
                          "channels to the tile minimum so C_in 3->1 saves "
                          "nothing; measured 247.7 vs 252.2 fps @512p "
                          "(PERF.md round 4)")
+    ap.add_argument("--pad", type=int, default=64,
+                    help="reflect-pad margin (reference ReshapeTool: 64). "
+                         "The network only needs x8 geometry (three pools "
+                         "to /8), so e.g. --pad 32 --granularity 8 is a "
+                         "reduced-pad fast mode; quality cost measured via "
+                         "--mode quality (PERF.md round 4)")
+    ap.add_argument("--granularity", type=int, default=64,
+                    help="padded-size multiple (reference: 64; must be a "
+                         "multiple of 8)")
     ap.add_argument("--inner-dtype", default="same",
                     choices=["same", "bf16"],
                     help="train mode: relaxed-loss inner-loop compute dtype "
@@ -162,6 +171,9 @@ def main():
                          "+ temporal-SSIM on the fixture with the bundled "
                          "trained checkpoint")
     args = ap.parse_args()
+    if args.pad < 0 or args.granularity < 8 or args.granularity % 8:
+        ap.error("--pad must be >= 0 and --granularity a positive multiple "
+                 "of 8 (three /2 pools need x8 input geometry)")
     # Probe AFTER parsing: --help / flag typos must answer instantly, not
     # block on (or bogus-report against) the device.
     _acquire_devices_or_die()
@@ -173,8 +185,12 @@ def main():
         # out conv wins there (246 vs 242 fps at batch 32 — PERF.md).
         # True-1080p: batch 4 HALVED per-pixel throughput (17.6 fps,
         # 44 Mpix/s — the chip sat half idle); batch 8 restores the full
-        # 90 Mpix/s rate (36.1 fps, round-4 isolation matrix in PERF.md).
-        args.batch = {"1080p": 8, "sintel": 8, "latency": 1}.get(args.mode, 16)
+        # 90 Mpix/s rate (36.1 fps); batch 12 OOMs HBM (24.3G needed vs
+        # 15.75G).  Sintel geometry fits batch 16 and gains 11% over
+        # batch 8 (151.4 vs 136.1 fps; batch 12 collapses to 73.6 — the
+        # f16 conv layout tiles the batch dim by 8, so non-multiples of 8
+        # get a pathological padded layout).  Round-4 matrix in PERF.md.
+        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 16)
     if args.mode == "1080p":
         args.size = "1080x1920"
     elif args.mode == "sintel":
@@ -210,7 +226,8 @@ def main():
         ch, cw = (int(v) for v in str(args.size).split("x"))
     else:
         ch = cw = int(args.size)
-    h, w = padded_size(ch, cw)  # 512 -> 640x640; 1080x1920 -> 1216x2048
+    # 512 -> 640x640; 1080x1920 -> 1216x2048 at the reference's pad=64/x64.
+    h, w = padded_size(ch, cw, args.pad, args.granularity)
 
     params = init_transformer_params(jax.random.PRNGKey(0), cfg,
                                      with_loss_net=False)
@@ -314,7 +331,9 @@ def main():
                   + ("+sweep" if args.sweep_weights else "")
                   + ("" if args.outpairs == "auto"
                      else f"+outpairs:{args.outpairs}")
-                  + ("+lumafold" if args.luma_fold else "")),
+                  + ("+lumafold" if args.luma_fold else "")
+                  + ("" if (args.pad, args.granularity) == (64, 64)
+                     else f"+pad{args.pad}/x{args.granularity}")),
         "device": str(jax.devices()[0]),
     }))
 
@@ -354,7 +373,9 @@ def bench_quality(args):
         s = Stylization(checkpoint=ckpt, cfg=cfg,
                         use_global=(mode == "global"),
                         infer=InferenceConfig(batch_size=args.batch or 8,
-                                              use_global=(mode == "global")))
+                                              use_global=(mode == "global"),
+                                              pad=args.pad,
+                                              granularity=args.granularity))
         s.prepare_style(style)
         ew, ts = EwarpAccumulator(), TemporalSSIMAccumulator()
         for orig, styled in zip(frames,
@@ -377,6 +398,7 @@ def bench_quality(args):
         "tssim_per_frame": round(p["tssim"], 4),
         "tssim_control_unstyled": round(g["tssim_control"], 4),
         "pairs": g["pairs"],
+        "pad": [args.pad, args.granularity],
         "dtype": args.dtype,
         "checkpoint": os.path.basename(ckpt),
         "device": str(jax.devices()[0]),

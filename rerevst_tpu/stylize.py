@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interval", type=int, default=8,
                    help="global-pass sampling interval")
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--pad", type=int, default=64,
+                   help="reflect-pad margin (reference ReshapeTool: 64). "
+                        "The network only needs x8 geometry, so e.g. "
+                        "--pad 32 --granularity 8 is a reduced-pad fast "
+                        "mode (fewer padded pixels per frame; border "
+                        "quality cost measurable with --ewarp)")
+    p.add_argument("--granularity", type=int, default=64,
+                   help="padded-size multiple (reference: 64; must be a "
+                        "positive multiple of 8)")
     p.add_argument("--dtype", default="f32",
                    choices=["f32", "bf16", "f16"])
     p.add_argument("--mix", default="none",
@@ -66,6 +75,9 @@ def main(argv=None):
     enable_compile_cache()
 
     args = build_parser().parse_args(argv)
+    if args.pad < 0 or args.granularity < 8 or args.granularity % 8:
+        build_parser().error("--pad must be >= 0 and --granularity a "
+                             "positive multiple of 8")
     use_global = not args.no_global
 
     cfg = ModelConfig(
@@ -74,7 +86,8 @@ def main(argv=None):
         pairlane=args.pairlane)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,
-                            fps=args.fps)
+                            fps=args.fps, pad=args.pad,
+                            granularity=args.granularity)
     mesh = None
     if args.devices:
         from rerevst_tpu.parallel import frame_mesh

@@ -55,6 +55,40 @@ def test_stylize_cli_end_to_end(tiny_clip, ckpt, tmp_path, capsys):
     assert glob.glob(os.path.join(vout, "*.avi"))
 
 
+def test_stylize_cli_reduced_pad(tiny_clip, ckpt, tmp_path, capsys):
+    """--pad/--granularity shrink the padded geometry (fast mode) while the
+    outputs still crop back to the original frame size."""
+    import cv2
+
+    from rerevst_tpu import stylize
+    from rerevst_tpu.ops.image import padded_size
+
+    # 64x96 frames: reference geometry pads to 192x256; pad=16/x8 -> 96x128
+    # (2.7x fewer padded pixels).
+    assert padded_size(64, 96) == (192, 256)
+    assert padded_size(64, 96, 16, 8) == (96, 128)
+    clip, style = tiny_clip
+    out = str(tmp_path / "frames")
+    stylize.main(["--style", style, "--frames", f"{clip}/f*.png",
+                  "--checkpoint", ckpt, "-o", out, "--no-video",
+                  "--batch", "2", "--interval", "2",
+                  "--pad", "16", "--granularity", "8"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["frames"] == 5
+    outs = sorted(glob.glob(os.path.join(out, "*", "*.png")))
+    assert len(outs) == 5
+    assert cv2.imread(outs[0]).shape == (64, 96, 3)
+
+
+def test_stylize_cli_rejects_bad_granularity(tiny_clip, ckpt):
+    from rerevst_tpu import stylize
+
+    clip, style = tiny_clip
+    with pytest.raises(SystemExit):
+        stylize.main(["--style", style, "--frames", f"{clip}/f*.png",
+                      "--checkpoint", ckpt, "--granularity", "12"])
+
+
 def test_stylize_cli_video_file_input(tiny_clip, ckpt, tmp_path, capsys):
     """--frames accepts a container video file, not just a frame glob."""
     import cv2
