@@ -416,6 +416,15 @@ def bench_train(args):
     from rerevst_tpu.train.step import make_train_step
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.inner_dtype == "bf16" and dtype == jnp.bfloat16:
+        # relaxed.py's inner_bf16 gate requires model dtype != bf16; the
+        # flag would silently no-op and mislabel the recorded JSON.
+        import sys
+
+        print("warning: --inner-dtype bf16 is redundant with --dtype bf16 "
+              "(the whole step already runs bf16); recording as plain bf16",
+              file=sys.stderr)
+        args.inner_dtype = "same"
     cfg = TrainConfig(
         model=ModelConfig(dtype=dtype),
         loss=LossConfig(relaxed_inner_dtype=args.inner_dtype),

@@ -147,6 +147,10 @@ class Stylization:
         """First frame fixes the padded shape for the whole clip
         (ReshapeTool contract, ``test/generate_real_video.py:66-83``)."""
         if self._pad_hw is None:
+            from rerevst_tpu.ops.image import validate_pad_geometry
+
+            validate_pad_geometry(h, w, self.infer.pad,
+                                  self.infer.granularity)
             self._pad_hw = padded_size(h, w, self.infer.pad,
                                        self.infer.granularity)
             self._orig_hw = (h, w)
@@ -297,8 +301,9 @@ class Stylization:
     def transfer(self, frame_bgr: np.ndarray) -> np.ndarray:
         """Pass 2 (hot loop): stylize one frame, return BGR uint8."""
         x = self._prep(frame_bgr)
-        out = self._stylize(x)
-        return self._post(out, frame_bgr.shape[:2])
+        h, w = frame_bgr.shape[:2]
+        out = crop_back(self._stylize(x), h, w, self.infer.pad)
+        return self._post(self._fetch(out))
 
     def transfer_batch(self, frames_bgr: Sequence[np.ndarray],
                        pad_to: int = 0) -> List[np.ndarray]:
@@ -318,23 +323,32 @@ class Stylization:
         if not frames_bgr:
             return []
         n = len(frames_bgr)
+        h, w = frames_bgr[0].shape[:2]
         xs = self._prep_batch_host(frames_bgr)
         if pad_to > n:
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad_to - n, 0)])
-        outs = np.asarray(self._stylize(self._upload(xs))[:n],
-                          dtype=np.float32)
-        return [self._post(outs[i : i + 1], f.shape[:2])
-                for i, f in enumerate(frames_bgr)]
+        out_dev = crop_back(self._stylize(self._upload(xs))[:n],
+                            h, w, self.infer.pad)
+        outs = self._fetch(out_dev)
+        return [self._post(outs[i : i + 1]) for i in range(n)]
 
-    def _post(self, out, hw) -> np.ndarray:
-        h, w = hw
+    def _fetch(self, out) -> np.ndarray:
+        """The session's single D2H entry point — every serving-path fetch
+        funnels here so tests can pin the transferred GEOMETRY: frames are
+        cropped back to content size ON DEVICE before this call (at 512p the
+        padded frame is 640^2/512^2 = 1.56x the bytes; the reference fetches
+        padded, ``test/generate_real_video.py:159-167``)."""
+        return np.asarray(out, dtype=np.float32)
+
+    def _post(self, out: np.ndarray) -> np.ndarray:
+        """Host post-processing of an already-CROPPED fetched frame
+        ([1,h,w,3] normalized RGB -> BGR uint8)."""
         from rerevst_tpu.data import native
 
         if native.available():
-            return native.postprocess(
-                np.asarray(out, dtype=np.float32), h, w, self.infer.pad)
-        out = crop_back(out, h, w, self.infer.pad)
-        return model_to_bgr(np.asarray(out))
+            h, w = out.shape[1:3]
+            return native.postprocess(out, h, w, 0)
+        return model_to_bgr(out)
 
     # ------------------------------------------------------------------
     # Batched fast path
@@ -506,8 +520,8 @@ class Stylization:
 
         def _drain(pending):
             out_dev, count = pending
-            out = np.asarray(out_dev)  # blocks on D2H; device is already
-            for i in range(count):     # busy with the next batch.
+            out = self._fetch(out_dev)  # blocks on D2H; device is already
+            for i in range(count):      # busy with the next batch.
                 yield model_to_bgr(out[i : i + 1])
 
         # Double-buffered pipeline: while batch k computes, the worker reads

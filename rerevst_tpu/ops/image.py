@@ -92,6 +92,29 @@ def padded_size(h: int, w: int, pad: int = 64, granularity: int = 64) -> Tuple[i
     return new_h, new_w
 
 
+def validate_pad_geometry(h: int, w: int, pad: int = 64,
+                          granularity: int = 64) -> None:
+    """Reject geometries whose symmetric reflect pad exceeds a frame side.
+
+    With small frames (or ``--pad 0`` plus granularity round-up) one side's
+    pad can exceed the content dimension; ``jnp.pad(mode='symmetric')``
+    raises an opaque error there, and multi-bounce reflection is outside the
+    reference's ReshapeTool contract anyway.  Called once per clip when the
+    geometry locks — raises a clear ValueError naming the minimum size.
+    """
+    th, tw = padded_size(h, w, pad, granularity)
+    worst_h = max(pad, th - pad - h)
+    worst_w = max(pad, tw - pad - w)
+    if worst_h > h or worst_w > w:
+        raise ValueError(
+            f"content {h}x{w} is too small for pad={pad}/granularity="
+            f"{granularity}: reflect padding needs every side pad <= the "
+            f"frame dimension (this geometry pads {h}x{w} -> {th}x{tw}, "
+            f"worst side pads {worst_h}/{worst_w}).  Use a smaller --pad/"
+            f"--granularity or content of at least "
+            f"{worst_h}x{worst_w} pixels.")
+
+
 def pad_reflect_multiple(img, pad: int = 64, granularity: int = 64,
                          target_hw: Tuple[int, int] | None = None):
     """Reflect-pad NHWC to the padded size (edge-inclusive reflection).

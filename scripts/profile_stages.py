@@ -59,14 +59,16 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bf16",
                     choices=["bf16", "f16", "f32"])
-    ap.add_argument("--no-luma-fold", action="store_true")
+    ap.add_argument("--luma-fold", action="store_true",
+                    help="enable the rank-1 luma fold (off by default since "
+                         "the round-4 measured negative; mirrors bench.py)")
     ap.add_argument("--outpairs", default="auto",
                     choices=["auto", "on", "off"])
     args = ap.parse_args()
 
     cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
                              "f32": jnp.float32}[args.dtype],
-                      luma_fold=not args.no_luma_fold,
+                      luma_fold=args.luma_fold,
                       outpairs=args.outpairs)
     prec = precision_for(cfg.dtype, cfg.precision)
     if "x" in str(args.size):

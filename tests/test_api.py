@@ -71,6 +71,34 @@ class TestStylization:
         b = session.transfer(frames[1])
         np.testing.assert_array_equal(a, b)
 
+    def test_d2h_fetches_cropped_geometry(self, fixture_frames):
+        """Every serving-path D2H moves the CROPPED content frame, never the
+        padded one (round-5: the crop happens on device — at 512p the padded
+        frame is 1.56x the bytes on the path PERF.md measures as the
+        bottleneck).  Pins the single-fetch-per-call contract too."""
+        frames, style = fixture_frames
+        s = Stylization(params=_params(), cfg=CFG, use_global=True,
+                        infer=INFER)
+        s.prepare_style(style)
+        for f in frames[::2]:
+            s.add(f)
+        s.compute()
+        h, w = frames[0].shape[:2]
+        fetches = []
+        orig = s._fetch
+        s._fetch = lambda x: fetches.append(np.shape(x)) or orig(x)
+        out = s.transfer(frames[0])
+        assert out.shape == frames[0].shape
+        outs = s.transfer_batch(frames[:3], pad_to=4)
+        vid = list(s.stylize_video(frames, batch_size=2))
+        assert len(outs) == 3 and len(vid) == len(frames)
+        # transfer: 1 fetch; transfer_batch: 1 fetch (pad rows sliced off on
+        # device); stylize_video: 1 per chunk.
+        assert len(fetches) == 1 + 1 + (len(frames) + 1) // 2, fetches
+        for shape in fetches:
+            assert shape[1:] == (h, w, 3), (shape, (h, w))
+        assert fetches[1][0] == 3  # batch sliced to the real size on device
+
     def test_stylize_video_matches_transfer(self, fixture_frames):
         frames, style = fixture_frames
         s = Stylization(params=_params(), cfg=CFG, use_global=True,
