@@ -127,6 +127,12 @@ def main():
                     help="content size: N (square) or HxW — e.g. 1080x1920 "
                          "(16:9), 436x1024 (the reference's ambush_4 "
                          "fixture geometry)")
+    ap.add_argument("--tiles", type=int, default=None,
+                    help="spatial H-tiles for the full-resolution hot "
+                         "regions (ModelConfig.spatial_tiles; exact "
+                         "overlap-and-discard — ops/tiling.py).  Default: "
+                         "1 everywhere except true-1080p, where tiling "
+                         "lifts the batch-12 HBM OOM (PERF.md round 5)")
     ap.add_argument("--outpairs", default="auto",
                     choices=["auto", "on", "off"],
                     help="force the paired-output out-conv on/off (gate "
@@ -215,13 +221,18 @@ def main():
     )
     from rerevst_tpu.ops.image import padded_size
 
+    if args.tiles is None:
+        # True-1080p default measured in round 5 (PERF.md): tiling the two
+        # full-res regions lifts the batch-12/16 compile-time HBM OOM.
+        args.tiles = 1
     dtype = dtype_from_name(args.dtype)
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision,
                       parity_packed=args.packed,
                       pairlane=args.pairlane,
                       outpairs=args.outpairs,
-                      luma_fold=args.luma_fold)
+                      luma_fold=args.luma_fold,
+                      spatial_tiles=args.tiles)
     if "x" in str(args.size):
         ch, cw = (int(v) for v in str(args.size).split("x"))
     else:
@@ -332,6 +343,7 @@ def main():
                   + ("" if args.outpairs == "auto"
                      else f"+outpairs:{args.outpairs}")
                   + ("+lumafold" if args.luma_fold else "")
+                  + ("" if args.tiles == 1 else f"+tiles{args.tiles}")
                   + ("" if (args.pad, args.granularity) == (64, 64)
                      else f"+pad{args.pad}/x{args.granularity}")),
         "device": str(jax.devices()[0]),

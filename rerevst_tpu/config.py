@@ -112,6 +112,18 @@ class ModelConfig:
     #: fp32_mix == 'none', no packed/pairlane) so the fp32-HIGHEST parity
     #: oracle never sees it even when enabled.
     luma_fold: bool = False
+    #: Evaluate the full-resolution hot regions — the encoder conv1 block
+    #: and the global decoder's res2+out tail — in this many H-tiles with
+    #: exact overlap-and-discard (ops/tiling.py).  >1 bounds those regions'
+    #: working set at 1/N, breaking the true-1080p HBM ceiling (batch 12 at
+    #: 2048x1216 f16 was a compile-time OOM from two 9.5 GB full-res temps,
+    #: PERF.md round-4 matrix).  EXACT under frozen statistics — the tiled
+    #: path only engages on the global inference graph (Pass 2) and the
+    #: norm-free encoder; per-frame instance norms reduce over (H,W) and are
+    #: never tiled.  1 = off (the default; geometries that fit shouldn't pay
+    #: the tiling loop).  Ignored where inapplicable (fp32_mix regions,
+    #: packed/pairlane paths, H not divisible).
+    spatial_tiles: int = 1
     #: Paired-output out-conv gate override: 'auto' = the measured
     #: pixel-count gate (models/transformer.py:_use_outpairs), 'on'/'off'
     #: force it (subject to the correctness constraints: even W, low

@@ -60,6 +60,13 @@ from rerevst_tpu.models.layers import (
 from rerevst_tpu.ops.image import rgb_to_luma_reversed
 from rerevst_tpu.ops.resize import upsample_nearest_2x
 from rerevst_tpu.ops.stats import channel_minmax, instance_moments, mean_std
+from rerevst_tpu.ops.tiling import can_tile_h, tiled_over_h
+
+#: H receptive field of the decoder tail (ada2 input -> out conv) in
+#: half-resolution rows: up2x-conv3x3 (1) + conv2 3x3 at full res (0.5->1
+#: after the up) + out conv 3x3 (0.5) — ceil to 2.  tests/test_tiling.py
+#: asserts the tiled tail equals the untiled one to fp32 tolerance.
+_TAIL_HALO = 2
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +250,8 @@ def encode_content(params: Dict, frame, cfg: ModelConfig, desaturate: bool = Tru
         return f.astype(cfg.dtype) if cfg.fp32_mix == "enc" else f
     return vgg.encode(params["encoder"], x.astype(cfg.dtype),
                       precision=precision_for(cfg.dtype, cfg.precision),
-                      packed=cfg.parity_packed, pairlane=cfg.pairlane)
+                      packed=cfg.parity_packed, pairlane=cfg.pairlane,
+                      head_tiles=cfg.spatial_tiles)
 
 
 def encode_style(params: Dict, style, cfg: ModelConfig) -> StyleFeatures:
@@ -536,6 +544,25 @@ def decode_global(params_dec: Dict, x, style: StyleFeatures, stats: SeqStats,
         h = h.astype(jnp.float32)
     elif tail == "body":
         h = h.astype(cfg.dtype)
+    if (cfg.spatial_tiles > 1 and tail == "none" and not cfg.pairlane
+            and not cfg.parity_packed
+            and can_tile_h(h.shape[1], cfg.spatial_tiles, _TAIL_HALO, (2, 1))):
+        # Spatially tiled tail (ada2 -> res2 -> ada1 -> out): the region is
+        # H-local under frozen stats, so overlap-and-discard is EXACT
+        # (ops/tiling.py; receptive field from the half-res input is 2 rows).
+        # Bounds the two full-resolution 64-channel temps — the true-1080p
+        # HBM ceiling (PERF.md round-4 matrix) — at 1/N.
+        def _tail_fn(hs):
+            t = _norm_apply(norms["ada2"], hs) * s2 + m2
+            t = _resblock_global(params_dec["res2"], t, norms["res2a"],
+                                 norms["res2b"], cfg)
+            t = _norm_apply(norms["ada1"], t) * s1 + m1
+            if _use_outpairs(cfg, tail, t):
+                return conv3x3_outpairs(params_dec["out"], t, precision=prec)
+            return conv2d(params_dec["out"], t, padding=1, precision=prec)
+
+        return tiled_over_h(_tail_fn, h, cfg.spatial_tiles, _TAIL_HALO,
+                            (2, 1))
     h = _norm_apply(norms["ada2"], h) * s2 + m2
     if (cfg.pairlane and not cfg.parity_packed and tail == "none"
             and cfg.dtype != jnp.float32

@@ -26,6 +26,7 @@ from rerevst_tpu.models.layers import (
     init_conv_torch_default,
     max_pool_2x2,
 )
+from rerevst_tpu.ops.tiling import can_tile_h, tiled_over_h
 
 #: (name, cin, cout) for the 11 convs through conv4_1, in order.
 VGG_CONVS = (
@@ -222,8 +223,14 @@ def _encode_pairlane_head(params: Dict, x, precision):
     return h.astype(x.dtype) if f16 else h
 
 
+#: H receptive field of the encoder conv1 block in full-resolution rows:
+#: conv1_1 (1) + conv1_2 (1) + 2x2-pool alignment — 3, rounded to 4 (even,
+#: so slab boundaries stay pool-aligned).  ``head_tiles`` docs below.
+_HEAD_HALO = 4
+
+
 def encode(params: Dict, x, precision=None, packed: bool = False,
-           pairlane: bool = False) -> jnp.ndarray:
+           pairlane: bool = False, head_tiles: int = 1) -> jnp.ndarray:
     """Content encoder: features through relu4_1, final map only
     (``test/style_network_global.py:271-281``).
 
@@ -233,6 +240,29 @@ def encode(params: Dict, x, precision=None, packed: bool = False,
     maxpool, which is exactly a max over parity groups.  Equal to the
     direct path up to fp reassociation; requires even H and W (the
     inference geometry is x64-padded, and raw video frames are even)."""
+    if head_tiles > 1 and not packed and not pairlane \
+            and x.shape[2] % 2 == 0 \
+            and can_tile_h(x.shape[1], head_tiles, _HEAD_HALO, (1, 2),
+                           align=2):
+        # Spatially tiled conv1 block (exact overlap-and-discard,
+        # ops/tiling.py): the block's two [B,H,W,64] temps are the encoder
+        # half of the true-1080p HBM ceiling (9.5 GB each at batch 12 f16,
+        # PERF.md round-4 matrix).  The encoder has no normalization, so
+        # the tiling is exact in every mode.
+        def _head(xs):
+            h = conv2d(params["conv1_1"], xs, padding=1, precision=precision)
+            h = jnp.maximum(h, 0.0)
+            h = conv2d(params["conv1_2"], h, padding=1, precision=precision)
+            h = jnp.maximum(h, 0.0)
+            return max_pool_2x2(h)
+
+        h = tiled_over_h(_head, x, head_tiles, _HEAD_HALO, (1, 2))
+        for name, _, _ in VGG_CONVS[2:]:
+            if name in _POOL_BEFORE and name != "conv2_1":
+                h = max_pool_2x2(h)  # pool1 already ran inside the tiles
+            h = conv2d(params[name], h, padding=1, precision=precision)
+            h = jnp.maximum(h, 0.0)
+        return h
     if pairlane and not packed and x.dtype != jnp.float32 \
             and encode_pairlane_ok(x):
         h = _encode_pairlane_head(params, x, precision)
