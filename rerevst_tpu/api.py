@@ -358,11 +358,28 @@ class Stylization:
         if self.use_global:
             if self.stats is None:
                 raise RuntimeError("compute() first (or use_global=False)")
-            if self.mesh is not None and x.shape[0] > 1:
-                from rerevst_tpu.parallel import stylize_frames_sharded
+            if self.mesh is not None:
+                from rerevst_tpu.parallel.spatial import (
+                    spatial_ok,
+                    stylize_spatial_sharded,
+                )
 
-                return stylize_frames_sharded(self.params, x, self.style,
-                                              self.stats, self.cfg, self.mesh)
+                if spatial_ok(x.shape[0], x.shape[1], self.mesh):
+                    # Fewer frames than chips (batch-1 latency serving
+                    # included): shard the FRAME's H rows — and the batch
+                    # too when 1 < B < n — so every chip works on every
+                    # call (parallel/spatial.py halo-exchange sharding).
+                    self.pass2_mode = "spatial-sharded"
+                    return stylize_spatial_sharded(
+                        self.params, x, self.style, self.stats, self.cfg,
+                        self.mesh)
+                if x.shape[0] > 1:
+                    from rerevst_tpu.parallel import stylize_frames_sharded
+
+                    self.pass2_mode = "batch-sharded"
+                    return stylize_frames_sharded(
+                        self.params, x, self.style, self.stats, self.cfg,
+                        self.mesh)
             if self._aot is not None:
                 try:
                     return self._aot(self.params, x, self.style, self.stats)
@@ -383,9 +400,11 @@ class Stylization:
                           f"re-arm after the next Pass 1)", file=sys.stderr)
                     self._aot_warned = True
                     self._aot = None
+            self.pass2_mode = "jit"
             return self._stylize_global(self.params, x, self.style, self.stats)
         if self.style is None:
             raise RuntimeError("prepare_style first")
+        self.pass2_mode = "per-frame"
         return self._stylize_frame(self.params, x, self.style)
 
     def prepare_global(self, frames_bgr: Iterable[np.ndarray],
