@@ -176,6 +176,14 @@ def main():
                          "ambush_4 fixture (handled above); quality: E_warp "
                          "+ temporal-SSIM on the fixture with the bundled "
                          "trained checkpoint")
+    ap.add_argument("--styles", type=int, default=1,
+                    help="quality mode: sweep this many styles (1 = the "
+                         "plum_flower fixture pair only — the cross-round "
+                         "artifact; >1 adds styles from the reference's "
+                         "bundled 35-image style set, emitting per-style "
+                         "E_warp/tSSIM rows + aggregate.  The global-vs-"
+                         "per-frame margin is style-dependent, so one pair "
+                         "proves little — VERDICT r4 #5)")
     args = ap.parse_args()
     if args.pad < 0 or args.granularity < 8 or args.granularity % 8:
         ap.error("--pad must be >= 0 and --granularity a positive multiple "
@@ -376,40 +384,77 @@ def bench_quality(args):
                                 "models", "demo_plum_4000.msgpack"))
     paths = sorted(glob.glob(f"{fixture}/ambush_4/*.png"))
     frames = [cv2.imread(p) for p in paths]
-    style = cv2.imread(f"{fixture}/plum_flower.jpg")
     if args.quick:
         frames = frames[:9]
+    # Style sweep: the fixture pair first (the cross-round artifact), then
+    # a fixed slice of the reference's bundled style set (data/README.md:
+    # 1-3 — the 35 images its own demos sample from).  Fixed order => the
+    # per-style rows are comparable across rounds.
+    style_paths = [f"{fixture}/plum_flower.jpg"]
+    if args.styles > 1:
+        pool = (sorted(glob.glob("/root/reference/data/img_*.jpg"))
+                + sorted(glob.glob("/root/reference/data/other_*.jpg")))
+        style_paths += pool[: args.styles - 1]
     cfg = ModelConfig(dtype=dtype_from_name(args.dtype))
-    results = {}
-    for mode in ("global", "per_frame"):
-        s = Stylization(checkpoint=ckpt, cfg=cfg,
-                        use_global=(mode == "global"),
-                        infer=InferenceConfig(batch_size=args.batch or 8,
-                                              use_global=(mode == "global"),
-                                              pad=args.pad,
-                                              granularity=args.granularity))
-        s.prepare_style(style)
-        ew, ts = EwarpAccumulator(), TemporalSSIMAccumulator()
-        for orig, styled in zip(frames,
-                                s.stylize_video(frames,
-                                                batch_size=args.batch or 8)):
-            ew.push(orig, styled)
-            ts.push(orig, styled)
-        results[mode] = {**ew.result(), **ts.result()}
-    g, p = results["global"], results["per_frame"]
+    rows = []
+    for sp in style_paths:
+        style = cv2.imread(sp)
+        results = {}
+        for mode in ("global", "per_frame"):
+            s = Stylization(checkpoint=ckpt, cfg=cfg,
+                            use_global=(mode == "global"),
+                            infer=InferenceConfig(
+                                batch_size=args.batch or 8,
+                                use_global=(mode == "global"),
+                                pad=args.pad,
+                                granularity=args.granularity))
+            s.prepare_style(style)
+            ew, ts = EwarpAccumulator(), TemporalSSIMAccumulator()
+            for orig, styled in zip(
+                    frames, s.stylize_video(frames,
+                                            batch_size=args.batch or 8)):
+                ew.push(orig, styled)
+                ts.push(orig, styled)
+            results[mode] = {**ew.result(), **ts.result()}
+        g, p = results["global"], results["per_frame"]
+        rows.append({
+            "style": os.path.basename(sp),
+            "ewarp_global": round(g["ewarp"], 4),
+            "ewarp_per_frame": round(p["ewarp"], 4),
+            # One convention everywhere (VERDICT r4 weak #4): improvement
+            # = (per_frame - global) / per_frame — the fraction of the
+            # per-frame instability the global pass removes; the tested
+            # contract (test_api.py) is >= 10% in THIS convention.
+            "ewarp_improvement_pct": round(
+                100.0 * (p["ewarp"] - g["ewarp"]) / max(p["ewarp"], 1e-9),
+                2),
+            "tssim_global": round(g["tssim"], 4),
+            "tssim_per_frame": round(p["tssim"], 4),
+        })
+        last_g, last_p = g, p
+    fix = rows[0]
+    import statistics
+
     print(json.dumps({
         "metric": "ewarp_global_fixture",
-        "value": round(g["ewarp"], 4),
+        "value": fix["ewarp_global"],
         "unit": "masked pixel L1, lower is better",
         # The behavioral contract (tested strictly in test_api.py): global
-        # feature sharing beats per-frame decoding by >=10% on E_warp.
-        "vs_baseline": round(p["ewarp"] / max(g["ewarp"], 1e-9), 4),
-        "ewarp_per_frame": round(p["ewarp"], 4),
-        "ewarp_control_unstyled": round(g["ewarp_control"], 4),
-        "tssim_global": round(g["tssim"], 4),
-        "tssim_per_frame": round(p["tssim"], 4),
-        "tssim_control_unstyled": round(g["tssim_control"], 4),
-        "pairs": g["pairs"],
+        # feature sharing removes >=10% of per-frame E_warp.  Convention:
+        # (per_frame - global) / per_frame, stated per row above.
+        "vs_baseline": round(fix["ewarp_per_frame"]
+                             / max(fix["ewarp_global"], 1e-9), 4),
+        "ewarp_per_frame": fix["ewarp_per_frame"],
+        "ewarp_control_unstyled": round(last_g["ewarp_control"], 4),
+        "tssim_global": fix["tssim_global"],
+        "tssim_per_frame": fix["tssim_per_frame"],
+        "tssim_control_unstyled": round(last_g["tssim_control"], 4),
+        "pairs": last_g["pairs"],
+        "styles": rows if args.styles > 1 else None,
+        "ewarp_improvement_pct_median": round(statistics.median(
+            r["ewarp_improvement_pct"] for r in rows), 2),
+        "ewarp_improvement_pct_min": round(min(
+            r["ewarp_improvement_pct"] for r in rows), 2),
         "pad": [args.pad, args.granularity],
         "dtype": args.dtype,
         "checkpoint": os.path.basename(ckpt),

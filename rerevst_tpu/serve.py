@@ -226,6 +226,36 @@ class StylizeService:
         self.started = time.time()
         self.requests = collections.Counter()
 
+    def warmup(self, hw) -> float:
+        """Pay every first-clip compile at BOOT instead of on the first
+        request: run a synthetic (style, 1-frame clip) of geometry `hw`
+        through the full two-pass on the REAL serving session (per-instance
+        jit wrappers + the persistent compile cache both warm), then reset
+        the session.  Measured on the serving chip: first-request latency
+        drops from ~tens of seconds (compile) to the steady-state frame
+        time (scripts/bench_cold_start.py, PERF.md round 5).  Returns the
+        warmup wall time so boot logs show what was paid."""
+        import time
+
+        import numpy as np
+
+        t0 = time.time()
+        h, w = hw
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, (h, w, 3), np.uint8)
+        s = self.session
+        with self.lock:
+            s.prepare_style(rng.integers(0, 255, (h, w, 3), np.uint8))
+            if s.use_global:
+                s.add(frame)
+                s.compute()
+            out = s.transfer(frame)
+            assert out.shape == frame.shape
+            # Real clips start clean (healthz must not claim a style).
+            s.clean()
+            s.style = None
+        return time.time() - t0
+
     def healthz(self):
         import jax
 
@@ -712,7 +742,8 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           max_body_mb: float = DEFAULT_MAX_BODY_MB,
           max_frames: int = DEFAULT_MAX_FRAMES,
           batch_window_ms: float = 0.0,
-          batch_max: int = 8, aot: str | None = None) -> ThreadingHTTPServer:
+          batch_max: int = 8, aot: str | None = None,
+          warmup: str | None = None) -> ThreadingHTTPServer:
     if aot and not use_global:
         # Validate BEFORE the expensive model load/jit setup.
         raise ValueError(
@@ -722,6 +753,12 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
                          batch_window_ms, batch_max)
     if aot:
         svc.session.use_aot(aot)
+    if warmup:
+        hw = ([int(v) for v in warmup.split("x")] if "x" in warmup
+              else [int(warmup)] * 2)
+        secs = svc.warmup(hw)
+        print(f"warmup {hw[0]}x{hw[1]}: compiles paid at boot "
+              f"({secs:.1f}s)", flush=True)
     server = ThreadingHTTPServer(
         (host, port),
         make_handler(svc, int(max_body_mb * (1 << 20)), max_frames))
@@ -759,11 +796,20 @@ def main(argv=None):
                     help="AOT Pass-2 bundle (convert --export-aot): serve "
                          "the hot loop from the precompiled artifact where "
                          "geometry/batch match; other shapes use jit")
+    ap.add_argument("--warmup", default=None, metavar="HxW",
+                    help="run a synthetic clip of this content geometry "
+                         "through the full two-pass at BOOT, so the first "
+                         "real request pays steady-state latency instead "
+                         "of the jit compiles (measured: tens of seconds "
+                         "through the remote-compile tunnel on a cold "
+                         "cache — scripts/bench_cold_start.py).  E.g. "
+                         "--warmup 512 or --warmup 436x1024")
     args = ap.parse_args(argv)
     server = serve(args.checkpoint, args.port, args.host, args.dtype,
                    args.mix,
                    not args.no_global, args.max_body_mb, args.max_frames,
-                   args.batch_window_ms, args.batch_max, aot=args.aot)
+                   args.batch_window_ms, args.batch_max, aot=args.aot,
+                   warmup=args.warmup)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

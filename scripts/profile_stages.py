@@ -64,12 +64,19 @@ def main():
                          "the round-4 measured negative; mirrors bench.py)")
     ap.add_argument("--outpairs", default="auto",
                     choices=["auto", "on", "off"])
+    ap.add_argument("--tiles", type=int, default=1,
+                    help="spatial H-tiles for the full-res regions "
+                         "(ModelConfig.spatial_tiles; mirrors bench.py "
+                         "--tiles — needed to profile geometries whose "
+                         "untiled decoder stage would OOM, e.g. true-1080p "
+                         "batch >= 12)")
     args = ap.parse_args()
 
     cfg = ModelConfig(dtype={"bf16": jnp.bfloat16, "f16": jnp.float16,
                              "f32": jnp.float32}[args.dtype],
                       luma_fold=args.luma_fold,
-                      outpairs=args.outpairs)
+                      outpairs=args.outpairs,
+                      spatial_tiles=args.tiles)
     prec = precision_for(cfg.dtype, cfg.precision)
     if "x" in str(args.size):
         ch, cw = (int(v) for v in str(args.size).split("x"))

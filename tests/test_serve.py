@@ -628,3 +628,37 @@ def test_batched_stylize_service_matches_unbatched(tmp_path, clip):
         np.testing.assert_array_equal(a, b)
     assert sum(svc_b.batcher.calls) == len(frames)
     assert max(svc_b.batcher.calls) > 1, svc_b.batcher.calls
+
+
+def test_boot_warmup_leaves_clean_session_and_identical_results(tmp_path,
+                                                                clip):
+    """--warmup pays the compiles at boot on the REAL serving session, then
+    resets it: healthz reports no style, and a subsequent clip is
+    byte-identical to a never-warmed service (round-5 cold-start fix)."""
+    import jax
+
+    from rerevst_tpu.config import ModelConfig
+    from rerevst_tpu.io.checkpoint import save_params
+    from rerevst_tpu.models.transformer import init_transformer_params
+    from rerevst_tpu.serve import StylizeService
+
+    frames, style = clip
+    params = init_transformer_params(jax.random.PRNGKey(0), ModelConfig(),
+                                     with_loss_net=False)
+    params["decoder"] = jax.tree.map(lambda a: a * 5.0, params["decoder"])
+    ckpt = str(tmp_path / "m.msgpack")
+    save_params(ckpt, params)
+
+    def run(warm):
+        svc = StylizeService(ckpt, dtype="f32")
+        if warm:
+            secs = svc.warmup(frames[0].shape[:2])
+            assert secs > 0
+            hz = svc.healthz()
+            assert not hz["has_style"] and not hz["has_stats"]
+        svc.set_style(style)
+        for i, f in enumerate(frames):
+            svc.pass1(f, last=i == len(frames) - 1)
+        return svc.stylize(frames[0])
+
+    np.testing.assert_array_equal(run(warm=True), run(warm=False))
