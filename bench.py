@@ -160,6 +160,12 @@ def main():
                          "(LossConfig.relaxed_inner_dtype) — 'bf16' runs the "
                          "16 inner VGG fwd+bwd passes in bfloat16 with fp32 "
                          "flow/loss bookkeeping")
+    ap.add_argument("--blur-scale", type=int, default=1,
+                    help="train mode: smooth the relaxed flow at 1/N "
+                         "resolution (LossConfig.relaxed_blur_scale; the "
+                         "round-5 lever from scripts/profile_relaxed.py — "
+                         "the two full-res 101-tap HIGHEST blurs dominate "
+                         "one inner iteration).  1 = reference recipe")
     ap.add_argument("--remat", action="store_true",
                     help="train mode: rematerialize decoder activations in "
                          "the backward pass (TrainConfig.remat)")
@@ -484,7 +490,8 @@ def bench_train(args):
         args.inner_dtype = "same"
     cfg = TrainConfig(
         model=ModelConfig(dtype=dtype),
-        loss=LossConfig(relaxed_inner_dtype=args.inner_dtype),
+        loss=LossConfig(relaxed_inner_dtype=args.inner_dtype,
+                        relaxed_blur_scale=args.blur_scale),
         remat=args.remat)
     params = init_transformer_params(jax.random.PRNGKey(0), cfg.model,
                                      with_loss_net=True)
@@ -519,6 +526,8 @@ def bench_train(args):
         "dtype": (args.dtype
                   + ("" if args.inner_dtype == "same"
                      else f"+inner:{args.inner_dtype}")
+                  + ("" if args.blur_scale == 1
+                     else f"+blur/{args.blur_scale}")
                   + ("+remat" if args.remat else "")),
         "device": str(jax.devices()[0]),
     }))

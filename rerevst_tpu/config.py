@@ -210,6 +210,19 @@ class LossConfig:
     #: See PERF.md (train roofline) for the measured speed/parity numbers.
     relaxed_inner_dtype: str = "same"
 
+    #: Smooth the relaxed flow at 1/N resolution (1 = the reference recipe:
+    #: upsample the coarse flow to FULL resolution, tanh, then two 101-tap
+    #: HIGHEST-precision depthwise blurs — ``train/style_networks.py:
+    #: 547-551``).  N>1 applies tanh + a 1/N-scaled Gaussian (ksize
+    #: ~101/N odd, sigma 50.5/N) at 1/N resolution and bilinearly upsamples
+    #: the result: ~N^3 less blur work.  APPROXIMATE (tanh and the blur
+    #: don't commute with resampling exactly); a measured-quality option,
+    #: not a parity config — see PERF.md round 5 for the measured speed
+    #: and flow-field deltas.  Like relaxed_inner_dtype, this only changes
+    #: which warped style target is SELECTED; the gradient path to the
+    #: model params is untouched.
+    relaxed_blur_scale: int = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:

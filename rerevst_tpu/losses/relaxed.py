@@ -30,10 +30,24 @@ from rerevst_tpu.ops.resize import resize_bilinear
 from rerevst_tpu.ops.warp import flow_warp
 
 
-def smooth_flow(flow, h: int, w: int, flow_max: float = 20.0):
+def smooth_flow(flow, h: int, w: int, flow_max: float = 20.0,
+                blur_scale: int = 1):
     """Coarse flow -> full-res bounded smooth flow
     (``train/style_networks.py:547-551``): bilinear upsample, tanh x max,
-    Gaussian blur 101x101 sigma 50.5."""
+    Gaussian blur 101x101 sigma 50.5.
+
+    ``blur_scale`` > 1 (LossConfig.relaxed_blur_scale): tanh + a
+    1/N-scaled blur run at 1/N resolution and the SMOOTHED field is
+    upsampled — ~N^3 less blur work, approximate (measured option,
+    PERF.md round 5)."""
+    if blur_scale > 1:
+        ch, cw = h // blur_scale, w // blur_scale
+        f = flow if flow.shape[1:3] == (ch, cw) \
+            else resize_bilinear(flow, ch, cw)
+        f = jnp.tanh(f) * flow_max
+        k = max(3, (101 // blur_scale) | 1)  # odd, >= 3
+        f = gaussian_blur(f, ksize=k, sigma=50.5 / blur_scale)
+        return resize_bilinear(f, h, w)
     f = resize_bilinear(flow, h, w)
     f = jnp.tanh(f) * flow_max
     return gaussian_blur(f, ksize=101, sigma=50.5)
@@ -79,7 +93,8 @@ def relaxed_style_loss(vgg_params, style_img, f_styled: VggFeatures,
             vgg_sg, style_sg, static_target, prec)
 
     def inner_loss(flow):
-        bounded = smooth_flow(flow, h, w, cfg.flow_max)
+        bounded = smooth_flow(flow, h, w, cfg.flow_max,
+                              cfg.relaxed_blur_scale)
         warped = flow_warp(style_inner, bounded.astype(style_inner.dtype),
                            mode="bilinear")
         feats = vgg_features(vgg_inner, warped, "relu4_1", prec_inner)

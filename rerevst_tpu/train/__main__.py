@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(train/other_networks.py:81-101; the reference "
                         "driver hardcodes lsgan)")
     p.add_argument("--oldWeight", type=float, default=10.0)
+    p.add_argument("--relaxed_blur_scale", type=int, default=1,
+                   help="smooth the relaxed flow at 1/N resolution "
+                        "(LossConfig.relaxed_blur_scale; 1 = the reference "
+                        "recipe's full-res 101-tap blur).  ~N^3 less blur "
+                        "work, approximate target selection — measured "
+                        "speed/quality in PERF.md round 5")
     p.add_argument("--relaxed_inner_dtype", default="same",
                    choices=["same", "bf16"],
                    help="compute dtype for the relaxed loss's 16-iteration "
@@ -139,6 +145,7 @@ def config_from_args(a) -> TrainConfig:
         gan_mode=a.gan_mode,
         old_weight=a.oldWeight,
         relaxed_inner_dtype=a.relaxed_inner_dtype,
+        relaxed_blur_scale=a.relaxed_blur_scale,
         data_sigma=a.data_sigma,
         data_w=a.data_w,
         noise_level=a.data_noise_level,

@@ -106,16 +106,24 @@ def main():
                      .astype(style.dtype), mode="bilinear")
            .astype(jnp.float32))), flow0)
 
-    # --- the assembled scan body ---
-    def inner_loss(flow):
-        bounded = smooth_flow(flow, hw, hw, lcfg.flow_max)
-        warped = flow_warp(style, bounded.astype(style.dtype),
-                           mode="bilinear")
-        feats = vgg_features(vgg_p, warped, "relu4_1", iprec)
-        return style_loss(target, feats,
-                          mcfg.mean_std_eps).astype(jnp.float32)
+    # --- the assembled scan body (reference recipe and the coarse-blur
+    # lever, LossConfig.relaxed_blur_scale) ---
+    def make_inner(blur_scale):
+        def inner_loss(flow):
+            bounded = smooth_flow(flow, hw, hw, lcfg.flow_max, blur_scale)
+            warped = flow_warp(style, bounded.astype(style.dtype),
+                               mode="bilinear")
+            feats = vgg_features(vgg_p, warped, "relu4_1", iprec)
+            return style_loss(target, feats,
+                              mcfg.mean_std_eps).astype(jnp.float32)
+        return inner_loss
 
-    tm("inner_step fwd+bwd (scan body)", jax.grad(inner_loss), flow0)
+    tm("inner_step fwd+bwd (scan body)", jax.grad(make_inner(1)), flow0)
+    tm("inner_step fwd+bwd (blur_scale=4)", jax.grad(make_inner(4)), flow0)
+    tm("inner_step fwd+bwd (blur_scale=8)", jax.grad(make_inner(8)), flow0)
+    tm("smooth_flow fwd+bwd (blur_scale=8)",
+       jax.grad(lambda f: jnp.sum(smooth_flow(f, hw, hw, lcfg.flow_max,
+                                              8))), flow0)
 
     print(json.dumps({
         "batch": b, "size": hw, "dtype": args.dtype,

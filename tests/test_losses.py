@@ -241,6 +241,70 @@ class TestRelaxedInnerDtype:
         np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
 
 
+class TestRelaxedBlurScale:
+    """LossConfig.relaxed_blur_scale (round 5): smooth the relaxed flow at
+    1/N resolution.  The inner loop only SELECTS the warped style target
+    (fully stop-gradient'ed), so the contract is the END effect — the
+    relaxed loss and its gradient stay close; measured on conditioned
+    features: 0.3% loss delta at N=8 (PERF.md round 5)."""
+
+    def _setup(self, params, images):
+        content, style = images
+        prec = jax.lax.Precision.HIGHEST
+        f_content = vgg.encode(params["encoder"], jnp.asarray(content), prec)
+        sf = encode_style(params, jnp.asarray(style), CFG)
+        styled = decode(params["decoder"], f_content, sf, CFG)
+        return jnp.asarray(style), vgg.vgg_features(
+            params["vgg_loss"], styled, "relu4_1", prec)
+
+    def test_coarse_blur_end_effect_pinned(self, params, images):
+        style, f_styled = self._setup(params, images)
+
+        def run(lcfg):
+            def loss_fn(fs):
+                s, ori, rob = relaxed_style_loss(params["vgg_loss"], style,
+                                                 fs, lcfg, CFG)
+                return s, ori
+            (s, ori), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(f_styled)
+            gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                                    for x in jax.tree.leaves(g))))
+            return float(s), float(ori), gn
+
+        s1, ori1, g1 = run(LossConfig())
+        s8, ori8, g8 = run(LossConfig(relaxed_blur_scale=8))
+        # ori is computed outside the inner loop: bit-equal.
+        assert ori1 == ori8
+        # The coarse blur may select a slightly different flow.
+        assert abs(s8 - s1) / max(abs(s1), 1e-9) < 0.05
+        assert g8 > 0 and abs(g8 - g1) / max(g1, 1e-9) < 0.1
+
+    def test_scale_one_is_reference_recipe(self, params, images):
+        """blur_scale=1 must be byte-identical to a config that never heard
+        of the knob (regression pin)."""
+        style, f_styled = self._setup(params, images)
+        a = relaxed_style_loss(params["vgg_loss"], style, f_styled,
+                               LossConfig(), CFG)
+        b = relaxed_style_loss(params["vgg_loss"], style, f_styled,
+                               LossConfig(relaxed_blur_scale=1), CFG)
+        assert float(a[0]) == float(b[0])
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+    def test_smooth_flow_coarse_field_close(self):
+        """The 1/N-smoothed field approximates the full-res one (same
+        effective sigma; deviation comes from tanh/resample ordering —
+        documented, bounded here)."""
+        from rerevst_tpu.losses.relaxed import smooth_flow
+
+        f = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 20, 2)) * 2.0
+        full = smooth_flow(f, 128, 160, 20.0, 1)
+        coarse = smooth_flow(f, 128, 160, 20.0, 4)
+        rel = float(jnp.linalg.norm(coarse - full)
+                    / jnp.linalg.norm(full))
+        assert rel < 0.25, rel
+        assert coarse.shape == full.shape
+
+
 class TestTrainStep:
     def test_step_updates_and_freezes(self, params, images):
         content, style = images
