@@ -114,7 +114,8 @@ def main():
                          "(input and output are same-shape B,H,W,3 so XLA "
                          "may alias them) — buffer-donation micro-experiment")
     ap.add_argument("--batch", type=int, default=None,
-                    help="default: 32 (infer/multistyle), 8 (1080p)")
+                    help="default: 16 (infer/multistyle/sintel/1080p), "
+                         "1 (latency)")
     ap.add_argument("--sweep-weights", action="store_true",
                     help="multistyle mode: per-FRAME weight rows (batched "
                          "blended state, MultiStylization.transfer_batch "
@@ -131,8 +132,9 @@ def main():
                     help="spatial H-tiles for the full-resolution hot "
                          "regions (ModelConfig.spatial_tiles; exact "
                          "overlap-and-discard — ops/tiling.py).  Default: "
-                         "1 everywhere except true-1080p, where tiling "
-                         "lifts the batch-12 HBM OOM (PERF.md round 5)")
+                         "2 for --mode 1080p (lifts the batch-12+ HBM OOM "
+                         "and beats batch-8-untiled, PERF.md round 5), "
+                         "1 elsewhere")
     ap.add_argument("--outpairs", default="auto",
                     choices=["auto", "on", "off"],
                     help="force the paired-output out-conv on/off (gate "
@@ -210,7 +212,11 @@ def main():
         # batch 8 (151.4 vs 136.1 fps; batch 12 collapses to 73.6 — the
         # f16 conv layout tiles the batch dim by 8, so non-multiples of 8
         # get a pathological padded layout).  Round-4 matrix in PERF.md.
-        args.batch = {"1080p": 8, "latency": 1}.get(args.mode, 16)
+        # Round 5: H-tiling (--tiles) lifted the true-1080p HBM ceiling —
+        # batch 16 + 2 tiles measured 37.4 fps vs batch 8 untiled's 36.1
+        # (PERF.md round-5 matrix; batch 24/tiles 4 is +1% more at 1.5x
+        # the batch latency).
+        args.batch = {"1080p": 16, "latency": 1}.get(args.mode, 16)
     if args.mode == "1080p":
         args.size = "1080x1920"
     elif args.mode == "sintel":
@@ -237,8 +243,9 @@ def main():
 
     if args.tiles is None:
         # True-1080p default measured in round 5 (PERF.md): tiling the two
-        # full-res regions lifts the batch-12/16 compile-time HBM OOM.
-        args.tiles = 1
+        # full-res regions lifts the batch-12+ compile-time HBM OOM, and
+        # batch 16 x 2 tiles beats the old batch-8-untiled ceiling.
+        args.tiles = 2 if args.mode == "1080p" else 1
     dtype = dtype_from_name(args.dtype)
     cfg = ModelConfig(dtype=dtype, fp32_mix=args.tail,
                       precision=args.precision,
