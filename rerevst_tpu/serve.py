@@ -194,7 +194,8 @@ class StylizeService:
 
     def __init__(self, checkpoint: str, dtype: str = "bf16", mix: str = "none",
                  use_global: bool = True, batch_window_ms: float = 0.0,
-                 batch_max: int = 8, pairlane: bool = False):
+                 batch_max: int = 8, pairlane: bool = False,
+                 tiles: int = 1):
         import jax.numpy as jnp
 
         from rerevst_tpu.api import Stylization
@@ -203,7 +204,8 @@ class StylizeService:
         cfg = ModelConfig(
             dtype=dtype_from_name(dtype),
             fp32_mix=mix,
-            pairlane=pairlane)
+            pairlane=pairlane,
+            spatial_tiles=tiles)
         self.session = Stylization(checkpoint=checkpoint, cfg=cfg,
                                    use_global=use_global)
         self.lock = threading.Lock()
@@ -743,14 +745,14 @@ def serve(checkpoint: str, port: int = 8787, host: str = "127.0.0.1",
           max_frames: int = DEFAULT_MAX_FRAMES,
           batch_window_ms: float = 0.0,
           batch_max: int = 8, aot: str | None = None,
-          warmup: str | None = None) -> ThreadingHTTPServer:
+          warmup: str | None = None, tiles: int = 1) -> ThreadingHTTPServer:
     if aot and not use_global:
         # Validate BEFORE the expensive model load/jit setup.
         raise ValueError(
             "--aot bundles export the global-mode Pass 2; with "
             "--no-global the bundle would load but never be used")
     svc = StylizeService(checkpoint, dtype, mix, use_global,
-                         batch_window_ms, batch_max)
+                         batch_window_ms, batch_max, tiles=tiles)
     if aot:
         svc.session.use_aot(aot)
     if warmup:
@@ -796,6 +798,11 @@ def main(argv=None):
                     help="AOT Pass-2 bundle (convert --export-aot): serve "
                          "the hot loop from the precompiled artifact where "
                          "geometry/batch match; other shapes use jit")
+    ap.add_argument("--tiles", type=int, default=1,
+                    help="spatial H-tiles for the full-resolution hot "
+                         "regions (ModelConfig.spatial_tiles) — serve "
+                         "large geometries (true 1080p) that would OOM "
+                         "untiled; pixels identical (PERF.md round 5)")
     ap.add_argument("--warmup", default=None, metavar="HxW",
                     help="run a synthetic clip of this content geometry "
                          "through the full two-pass at BOOT, so the first "
@@ -809,7 +816,7 @@ def main(argv=None):
                    args.mix,
                    not args.no_global, args.max_body_mb, args.max_frames,
                    args.batch_window_ms, args.batch_max, aot=args.aot,
-                   warmup=args.warmup)
+                   warmup=args.warmup, tiles=args.tiles)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()
 

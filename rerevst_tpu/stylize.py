@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ModelConfig.fp32_mix).  For a fast parity-passing "
                         "run use --dtype f16 (0.54e-3/pixel) — 'enc'/'dec' "
                         "alone FAIL the 1e-3 parity bar; see PERF.md")
+    p.add_argument("--tiles", type=int, default=1,
+                   help="spatial H-tiles for the full-resolution hot "
+                        "regions (ModelConfig.spatial_tiles; exact "
+                        "overlap-and-discard).  >1 bounds their HBM "
+                        "working set at 1/N — lifts the true-1080p "
+                        "batch>=12 OOM (PERF.md round 5); pixels are "
+                        "IDENTICAL (tests/test_tiling.py)")
     p.add_argument("--pairlane", action="store_true",
                    help="pair-lane Pallas boundary-conv kernels (documented "
                         "NEGATIVE result: beats the isolated conv, loses "
@@ -83,7 +90,8 @@ def main(argv=None):
     cfg = ModelConfig(
         dtype=dtype_from_name(args.dtype),
         fp32_mix=args.mix,
-        pairlane=args.pairlane)
+        pairlane=args.pairlane,
+        spatial_tiles=args.tiles)
     infer = InferenceConfig(sample_interval=args.interval,
                             use_global=use_global, batch_size=args.batch,
                             fps=args.fps, pad=args.pad,

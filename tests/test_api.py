@@ -238,7 +238,10 @@ class TestStylization:
             s.prepare_style(style)
             outs = list(s.stylize_video(frames, batch_size=4))
             ew[mode] = ewarp(outs, frames)["ewarp"]
-        # Strict, with margin: global must beat per-frame by >= 10%.
+        # Strict, with margin: global must remove >= 10% of the per-frame
+        # E_warp.  Convention (used everywhere since round 5, incl. the
+        # quality JSON's ewarp_improvement_pct and PERF.md):
+        # improvement = (per_frame - global) / per_frame.
         assert ew[True] < 0.9 * ew[False], ew
 
 
