@@ -663,7 +663,11 @@ def _norm_compute(x, eps, reduce_fns=None, mask=None):
         mean = s / cnt
         # Two-pass variance (sum of squared deviations) like the reference —
         # immune to the E[x^2]-E[x]^2 cancellation at large activation means.
-        ss = psum(jnp.sum(jnp.square(xf - mean) * m, (0, 1, 2), keepdims=True))
+        # Mask INSIDE the square (identical for a 0/1 mask): padded frames
+        # replicate a real frame, and if any real square overflows f32 the
+        # old square(..)*m form minted inf*0 = NaN from the padding.
+        ss = psum(jnp.sum(jnp.square((xf - mean) * m), (0, 1, 2),
+                          keepdims=True))
         var = ss / cnt
         rstd = jax.lax.rsqrt(var + eps)
         xn = (xf - mean) * rstd

@@ -205,6 +205,23 @@ class MultiStylization:
         if len(weights) != len(self.styles):
             raise ValueError(
                 f"got {len(weights)} weights for {len(self.styles)} styles")
+        if self.mesh is not None:
+            from rerevst_tpu.parallel.spatial import (
+                multistyle_decode_spatial,
+                spatial_feats_ok,
+            )
+
+            if spatial_feats_ok(feats_one.shape[0], feats_one.shape[1],
+                                self.mesh):
+                # Batch-1 per-weight decode previously used ONE chip on any
+                # mesh; shard the feature map's H rows instead (round 5 —
+                # the multi-style analog of Stylization's spatial path).
+                out = multistyle_decode_spatial(
+                    self.params, feats_one, self.styles, self.stats,
+                    weights, self.cfg, self.mesh)
+                h, w_ = self._orig_hw
+                return model_to_bgr(
+                    np.asarray(crop_back(out, h, w_, self.infer.pad)))
         w = [jnp.asarray(wi, jnp.float32) for wi in weights]
         out = self._transfer(self.params, feats_one, self.styles, self.stats, w)
         h, w_ = self._orig_hw
@@ -236,6 +253,23 @@ class MultiStylization:
         if w.shape != (n, len(self.styles)):
             raise ValueError(f"weights shape {w.shape} != "
                              f"({n}, {len(self.styles)})")
+        if self.mesh is not None:
+            from rerevst_tpu.parallel.spatial import (
+                multistyle_decode_spatial,
+                spatial_feats_ok,
+            )
+
+            if spatial_feats_ok(n, feats.shape[1], self.mesh):
+                # Fewer frames than chips: hybrid batch x feature-row
+                # sharding keeps every chip busy (batch sharding alone
+                # would pad n up to the device count with wasted rows).
+                out = multistyle_decode_spatial(
+                    self.params, feats, self.styles, self.stats, w,
+                    self.cfg, self.mesh)
+                h, w_ = self._orig_hw
+                out = np.asarray(crop_back(out, h, w_, self.infer.pad),
+                                 dtype=np.float32)
+                return [model_to_bgr(out[i : i + 1]) for i in range(n)]
         if self.mesh is not None and n > 1:
             from rerevst_tpu.parallel.mesh import pad_to_multiple, sharded_batch
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -36,6 +37,8 @@ from rerevst_tpu.config import ModelConfig
 from rerevst_tpu.models.transformer import (
     SeqStats,
     StyleFeatures,
+    blend_pytrees,
+    blend_pytrees_batched,
     decode_global,
     encode_content,
 )
@@ -88,6 +91,59 @@ def _jitted(cfg: ModelConfig, mesh: Mesh, batch: int):
 
     return (jax.jit(run, in_shardings=(rep, xsh, rep, rep),
                     out_shardings=xsh), xsh, rep)
+
+
+def spatial_feats_ok(batch: int, fh: int, mesh: Mesh) -> bool:
+    """`multistyle_decode_spatial` applicability: like ``spatial_ok`` but
+    for a /8-resolution FEATURE map (the multi-style session caches relu4_1
+    features, not frames): every H shard keeps >= 2 feature rows."""
+    n = mesh.devices.size
+    if n <= 1 or mesh_process_count(mesh) > 1:
+        return False
+    if batch >= n or n % batch:
+        return False
+    rows = n // batch
+    return fh % rows == 0 and (fh // rows) >= 2
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_multistyle(cfg: ModelConfig, mesh: Mesh, batch: int,
+                       batched_weights: bool):
+    if cfg.spatial_tiles > 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, spatial_tiles=1)  # see _jitted
+    m = _folded_mesh(mesh, batch)
+    fsh = NamedSharding(m, P(BATCH_AXIS, H_AXIS))
+    rep = NamedSharding(m, P())
+    wsh = NamedSharding(m, P(BATCH_AXIS)) if batched_weights else rep
+    blend = blend_pytrees_batched if batched_weights else blend_pytrees
+
+    def run(params, feats, styles, stats, weights):
+        sf = blend(styles, weights)
+        st = blend(stats, weights)
+        return decode_global(params["decoder"], feats, sf, st, cfg)
+
+    return (jax.jit(run, in_shardings=(rep, fsh, rep, rep, wsh),
+                    out_shardings=fsh), fsh, rep, wsh)
+
+
+def multistyle_decode_spatial(params, feats, styles, stats, weights,
+                              cfg: ModelConfig, mesh: Mesh):
+    """Multi-style blended decode with the FEATURE map's H axis (and, for
+    B > 1, the batch) sharded over `mesh` — the multi-style analog of
+    ``stylize_spatial_sharded`` (the session caches relu4_1 features and
+    decodes them per weight row, ``multistyle.py``).  `weights`: [S] scalars
+    (one blend for the whole batch) or a [B, S] array (per-frame blends —
+    sharded with the batch).  Call only when ``spatial_feats_ok``."""
+    w = jnp.asarray(weights, jnp.float32)
+    batched = w.ndim == 2
+    run, fsh, rep, wsh = _jitted_multistyle(cfg, mesh, feats.shape[0],
+                                            batched)
+    feats = jax.device_put(feats, fsh)
+    params, styles, stats = jax.device_put((params, styles, stats), rep)
+    w = jax.device_put(w if batched else list(np.asarray(weights)), wsh)
+    return run(params, feats, styles, stats, w)
 
 
 def stylize_spatial_sharded(params, frames, style: StyleFeatures,

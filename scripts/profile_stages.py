@@ -158,14 +158,26 @@ def main():
         y = conv2d(pd["out"], h_, padding=1, precision=prec)
         return adapter(y, f.shape, f.dtype)
 
-    r = time_fn(res_chain, feats, iters=args.iters)
-    results["resblocks+out"] = r["per_call_s"]
+    try:
+        r = time_fn(res_chain, feats, iters=args.iters)
+        results["resblocks+out"] = r["per_call_s"]
+    except Exception as e:  # noqa: BLE001 — isolated-stage OOM is a result
+        # The hand-assembled chain is UNtiled (decode_global owns the tiled
+        # tail), so geometries that need --tiles can OOM here while the
+        # 'decoder(+adapter)' row above — the real graph — still times.
+        results["resblocks+out"] = None
+        print(f"# resblocks+out stage skipped: {type(e).__name__} "
+              f"(untiled isolated chain; the decoder row is the tiled "
+              f"real graph)", file=sys.stderr)
 
-    per_frame = {k: v / b * 1e3 for k, v in results.items()}
+    per_frame = {k: (v / b * 1e3 if v is not None else None)
+                 for k, v in results.items()}
     print(json.dumps({
         "batch": b, "size": args.size, "padded": [h, w],
-        "per_call_ms": {k: round(v * 1e3, 2) for k, v in results.items()},
-        "per_frame_ms": {k: round(v, 3) for k, v in per_frame.items()},
+        "per_call_ms": {k: (round(v * 1e3, 2) if v is not None else None)
+                        for k, v in results.items()},
+        "per_frame_ms": {k: (round(v, 3) if v is not None else None)
+                         for k, v in per_frame.items()},
         "fps_full": round(b / results["full"], 1),
         "device": str(jax.devices()[0]),
     }, indent=1))

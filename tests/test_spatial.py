@@ -164,3 +164,63 @@ def _clone_unmeshed(s):
     c.style, c.stats = s.style, s.stats
     c._pad_hw, c._orig_hw = s._pad_hw, getattr(s, "_orig_hw", None)
     return c
+
+
+class TestMultistyleSpatial:
+    """Multi-style blended decode with the feature map's H axis sharded
+    (parallel/spatial.py multistyle_decode_spatial)."""
+
+    @pytest.fixture(scope="class")
+    def msession(self, mesh8):
+        from rerevst_tpu.multistyle import MultiStylization
+
+        # Stock 0.02-gain decoder (NO x5 scaling): the x5 gain compounds
+        # through the filter chain on collect_stats and overflows f32 by
+        # 'ada4' (~1e22 activations) — test_parallel's fixture notes.
+        params = init_transformer_params(jax.random.PRNGKey(0), CFG,
+                                         with_loss_net=False)
+        rng = np.random.default_rng(1)
+        styles = [rng.integers(0, 255, (64, 96, 3), np.uint8)
+                  for _ in range(2)]
+        # Synthetic alive relu4_1 features (see tests/test_parallel.py
+        # fixture notes): noise frames through the random encoder leave
+        # near-dead channels whose rsqrt amplifies the psum reassociation
+        # of the meshed Pass 1 chaotically — here the unit under test is
+        # the spatial DECODE path, so the plain session shares the meshed
+        # session's stats (like _clone_unmeshed above) and the Pass-1
+        # sharded==single contract stays with test_parallel.
+        feats = jnp.asarray(
+            np.abs(rng.standard_normal((3, 24, 32, 512))).astype(np.float32)
+            * (0.5 + rng.random(512, dtype=np.float32)))
+        geom = {"_pad_hw": (192, 256), "_orig_hw": (64, 96)}
+        meshed = MultiStylization(params=dict(params), cfg=CFG, mesh=mesh8)
+        meshed.prepare_styles(styles)
+        meshed.__dict__.update(geom)
+        meshed.prepare_global(feats)
+        plain = MultiStylization(params=dict(params), cfg=CFG, mesh=None)
+        plain.styles, plain.stats = meshed.styles, meshed.stats
+        plain.__dict__.update(geom)
+        return meshed, plain, feats
+
+    def test_batch1_transfer_matches_unmeshed(self, msession):
+        meshed, plain, feats = msession
+        w = [0.3, 0.7]
+        got = meshed.transfer(feats[:1], w)
+        ref = plain.transfer(feats[:1], w)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_small_batch_rows_match_unmeshed(self, msession):
+        meshed, plain, feats = msession
+        rows = np.array([[1.0, 0.0], [0.25, 0.75]], np.float32)
+        got = meshed.transfer_batch(feats[:2], rows)
+        ref = plain.transfer_batch(feats[:2], rows)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+
+    def test_spatial_feats_ok_gates(self, mesh8):
+        from rerevst_tpu.parallel.spatial import spatial_feats_ok
+
+        assert spatial_feats_ok(1, 16, mesh8)
+        assert not spatial_feats_ok(8, 16, mesh8)   # batch fills the mesh
+        assert not spatial_feats_ok(1, 8, mesh8)    # 1 row/shard
+        assert not spatial_feats_ok(1, 17, mesh8)   # not divisible
