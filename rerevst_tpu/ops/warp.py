@@ -11,6 +11,20 @@ reference) plus the reference's flow-warp wrapper:
 
 The gather is expressed with ``jnp.take_along_axis`` over flattened spatial
 indices, which XLA lowers to a single fused gather on TPU.
+
+Round-5 formulation (measured on chip, ``scripts/bench_warp.py``): for the
+narrow-channel images this op actually warps (C=3 everywhere in the
+reference recipe), FOUR independent gathers of [B, HW, C] rows waste the
+TPU's 128-lane gather minor dimension (3/128 lanes per gathered row).  The
+bilinear path instead gathers ONCE over a 4C-channel concat of the four
+corner-shifted copies of ``x`` — corner (dy, dx) of pixel (y, x) is pixel
+(y, x) of the copy shifted up/left by (dy, dx) with edge clamping, which
+reproduces the border-padded corner loads element-for-element (bit-exact
+vs the 4-gather form, max |err| 0.0 on chip; the microbench measured
+11.7 -> 3.7 ms fwd, 12.7 -> 4.1 ms fwd+bwd(flow) at batch 4 x 256^2 x 3
+on TPU v5 lite).  Wide-channel inputs (4C > 128 lanes) keep the
+4-gather form: the fusion's lane win vanishes once rows fill lane blocks,
+while its 4x corner-concat footprint remains.
 """
 
 from __future__ import annotations
@@ -32,6 +46,23 @@ def _gather_2d(x, iy, ix):
     idx = (iy * w + ix).reshape(n, -1, 1)
     out = jnp.take_along_axis(flat, idx, axis=1)
     return out.reshape(n, iy.shape[1], iy.shape[2], c)
+
+
+def _gather_corners(x, iy0, ix0):
+    """All four bilinear corners in ONE gather over a 4C corner concat.
+
+    Returns (v00, v01, v10, v11) with v[dy][dx][n,p,q,c] ==
+    x[n, clip(iy0+dy, 0, h-1), clip(ix0+dx, 0, w-1), c] — identical
+    elements to four separate clipped gathers, loaded from shifted copies
+    so the gather runs once with 4C-wide rows.
+    """
+    c = x.shape[-1]
+    right = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    down = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    g = _gather_2d(jnp.concatenate([x, right, down, downright], axis=-1),
+                   iy0, ix0)
+    return g[..., :c], g[..., c:2 * c], g[..., 2 * c:3 * c], g[..., 3 * c:]
 
 
 def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "border",
@@ -61,18 +92,24 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "border",
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     iy0 = jnp.floor(gy).astype(jnp.int32)
-    ix1 = jnp.clip(ix0 + 1, 0, w - 1)
-    iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+    # gx/gy are already clipped into the image, so floor() lands in range;
+    # the explicit clip keeps int32 edge cases (gx == w-1) pinned.
     ix0 = jnp.clip(ix0, 0, w - 1)
     iy0 = jnp.clip(iy0, 0, h - 1)
 
     fx = (gx - ix0)[..., None]
     fy = (gy - iy0)[..., None]
 
-    v00 = _gather_2d(x, iy0, ix0)
-    v01 = _gather_2d(x, iy0, ix1)
-    v10 = _gather_2d(x, iy1, ix0)
-    v11 = _gather_2d(x, iy1, ix1)
+    if 4 * c <= 128:
+        # Narrow channels (the C=3 reference regime): one 4C-wide gather.
+        v00, v01, v10, v11 = _gather_corners(x, iy0, ix0)
+    else:
+        ix1 = jnp.clip(ix0 + 1, 0, w - 1)
+        iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+        v00 = _gather_2d(x, iy0, ix0)
+        v01 = _gather_2d(x, iy0, ix1)
+        v10 = _gather_2d(x, iy1, ix0)
+        v11 = _gather_2d(x, iy1, ix1)
 
     top = v00 * (1.0 - fx) + v01 * fx
     bot = v10 * (1.0 - fx) + v11 * fx

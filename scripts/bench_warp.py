@@ -7,7 +7,10 @@ batch 4, 256², f32).  The baseline does FOUR independent flattened gathers
 of [B, HW, 3] rows — 3/128 lane utilization per gathered row on TPU.
 Variants measured here:
 
-- gather4   — the shipped formulation (ops/warp.py)
+- shipped   — ops/warp.py flow_warp (since round 5: the fused single
+              gather below for narrow channels)
+- gather4   — the pre-round-5 formulation: four independent clipped
+              corner gathers (kept here as the A/B control)
 - fused1    — ONE gather over a pre-shifted 4C-channel concat (corner
               (dy,dx) lives at channel block [dy*2+dx]): same bytes, 1/4
               the gather ops, 12/128 lanes per row
@@ -45,6 +48,28 @@ def _coords(x, flow):
     px = jnp.clip((2.0 * vx / max(w - 1, 1)) * w / 2.0 - 0.5, 0.0, w - 1)
     py = jnp.clip((2.0 * vy / max(h - 1, 1)) * h / 2.0 - 0.5, 0.0, h - 1)
     return px, py
+
+
+def warp_gather4(x, flow):
+    """Four independent clipped corner gathers (the pre-round-5 shipped
+    form, ops/warp.py history) — the A/B control for fused1."""
+    from rerevst_tpu.ops.warp import _gather_2d
+
+    n, h, w, c = x.shape
+    px, py = _coords(x, flow)
+    ix0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 1)
+    iy0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
+    ix1 = jnp.clip(ix0 + 1, 0, w - 1)
+    iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+    fx = (px - ix0)[..., None]
+    fy = (py - iy0)[..., None]
+    v00 = _gather_2d(x, iy0, ix0)
+    v01 = _gather_2d(x, iy0, ix1)
+    v10 = _gather_2d(x, iy1, ix0)
+    v11 = _gather_2d(x, iy1, ix1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return (top * (1.0 - fy) + bot * fy).astype(x.dtype)
 
 
 def warp_fused1(x, flow, pad_c: int = 0):
@@ -113,7 +138,8 @@ def main():
         results[name] = round(r["per_call_s"] * 1e3, 3)
 
     variants = {
-        "gather4": lambda f: flow_warp(x, f, mode="bilinear"),
+        "shipped": lambda f: flow_warp(x, f, mode="bilinear"),
+        "gather4": lambda f: warp_gather4(x, f),
         "fused1": lambda f: warp_fused1(x, f),
         "fused1p16": lambda f: warp_fused1(x, f, pad_c=4),
         "rowcol(approx)": lambda f: warp_rowcol(x, f),
@@ -127,7 +153,7 @@ def main():
     # exactness of fused1 vs the shipped path
     import numpy as np
 
-    ref = flow_warp(x, flow, mode="bilinear")
+    ref = warp_gather4(x, flow)
     got = warp_fused1(x, flow)
     err = float(jnp.abs(ref - got).max())
     print(json.dumps({

@@ -138,6 +138,39 @@ class TestGridSample:
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_fused_corner_gather_bitwise_equals_four_gathers(self, rng):
+        """The round-5 single-gather bilinear formulation loads the exact
+        same elements as four clipped gathers — bit-equal, narrow or wide
+        channels (wide takes the 4-gather branch; same result required)."""
+        from rerevst_tpu.ops.warp import _gather_2d, _gather_corners
+
+        for c in (3, 64):
+            x = jnp.asarray(rng.standard_normal((2, 7, 9, c)).astype(np.float32))
+            iy0 = jnp.asarray(rng.integers(0, 7, (2, 5, 6)).astype(np.int32))
+            ix0 = jnp.asarray(rng.integers(0, 9, (2, 5, 6)).astype(np.int32))
+            fused = _gather_corners(x, iy0, ix0)
+            split = (
+                _gather_2d(x, iy0, ix0),
+                _gather_2d(x, iy0, jnp.clip(ix0 + 1, 0, 8)),
+                _gather_2d(x, jnp.clip(iy0 + 1, 0, 6), ix0),
+                _gather_2d(x, jnp.clip(iy0 + 1, 0, 6), jnp.clip(ix0 + 1, 0, 8)),
+            )
+            for f, s in zip(fused, split):
+                np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
+
+    def test_grid_sample_wide_channels_matches_torch(self, rng):
+        """C=64 exercises the 4-gather branch (4C > 128 lanes) vs torch."""
+        x = rng.standard_normal((2, 9, 11, 64)).astype(np.float32)
+        grid = (rng.random((2, 5, 6, 2), dtype=np.float32) * 2.4) - 1.2
+        got = np.asarray(grid_sample(jnp.asarray(x), jnp.asarray(grid)))
+        want = nhwc(
+            TF.grid_sample(
+                nchw(x), torch.from_numpy(grid), mode="bilinear",
+                padding_mode="border", align_corners=False,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
     def test_flow_warp_matches_reference_formula(self, rng, mode):
         """Our flow_warp == the reference warp() (train/style_networks.py:27-44)
