@@ -243,3 +243,31 @@ def test_train_vgg_init_changes_fresh_backbones_only():
         feats[scheme] = float(jnp.abs(encode(p["encoder"], x)).mean())
     assert feats["he_relu"] > 10 * feats["torch"]
     assert 0.01 < feats["he_relu"] < 100
+
+
+def test_synth_pan_clip_real_smooth_motion():
+    """bench.py's synthesized second quality clip (`--clip pan`): fixed
+    geometry, deterministic, and real smooth motion — consecutive frames
+    differ, Farneback recovers a small coherent flow (VERDICT r4 #5:
+    quality evidence needs a second content clip)."""
+    cv2 = pytest.importorskip("cv2")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import synth_pan_clip
+
+    a = synth_pan_clip()
+    b = synth_pan_clip()
+    assert len(a) == 25 and all(f.shape == (320, 480, 3) for f in a)
+    assert all((x == y).all() for x, y in zip(a, b))  # deterministic
+    # consecutive frames move, but smoothly
+    diffs = [np.abs(x.astype(np.float32) - y.astype(np.float32)).mean()
+             for x, y in zip(a, a[1:])]
+    assert all(d > 0.5 for d in diffs), diffs
+    from rerevst_tpu.eval.ewarp import farneback_flow
+
+    flow = farneback_flow(a[0], a[1])
+    mag = np.hypot(flow[..., 0], flow[..., 1])
+    # ~4 px/frame diagonal pan + slow zoom: median flow in a sane band
+    assert 0.5 < np.median(mag) < 12.0, np.median(mag)
