@@ -29,6 +29,7 @@ while its 4x corner-concat footprint remains.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -136,3 +137,84 @@ def flow_warp(x, flow, mode: str = "bilinear"):
     grid = jnp.stack([gx, gy], axis=-1)
     return grid_sample(x, grid, mode=mode, padding_mode="border",
                        align_corners=False)
+
+
+def flow_warp_const_src(x, flow):
+    """`flow_warp(x, flow, "bilinear")` with an analytic VJP w.r.t. `flow`
+    and `x` treated as a constant (zero cotangent).
+
+    Motivation (relaxed inner loop, ``losses/relaxed.py``): the style image
+    is stop-gradient'ed, so the only gradient through the warp is w.r.t.
+    the flow — yet autodiff's backward re-runs the corner gathers (and,
+    composed under `lax.scan`, rematerializes the smooth-flow chain).
+    With  out = (v00(1-fx)+v01 fx)(1-fy) + (v10(1-fx)+v11 fx) fy,
+
+        d out/d gx = ((v01-v00)(1-fy) + (v11-v10) fy) * [0 < gx' < w-1]
+        d out/d gy = (bot - top)                      * [0 < gy' < h-1]
+        d gx/d flow_x = -w / max(w-1, 1)   (grid-normalize o unnormalize)
+
+    where gx' is the pre-clip sampling coordinate.  The bracket is TORCH's
+    border-padding gradient convention (`clip_coordinates_set_grad`: strict
+    zero at exactly-clipped coordinates); at the measure-zero clip ties the
+    corner difference itself vanishes under border padding, so autodiff,
+    this path, and torch all agree there (tested at flow=0, where every
+    border pixel is an exact tie).  The forward is the same op sequence as
+    `flow_warp` (bit-equality tested); the backward is pure elementwise —
+    no gather, no scatter.
+    """
+    return _flow_warp_const_src(x, flow)
+
+
+def _fwcs_primal(x, flow):
+    return flow_warp(x, flow, mode="bilinear")
+
+
+def _fwcs_fwd(x, flow):
+    n, h, w, c = x.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    vx = xs - flow[..., 0].astype(jnp.float32)
+    vy = ys - flow[..., 1].astype(jnp.float32)
+    # Same composed map as flow_warp -> grid_sample (align_corners=False).
+    gx = _unnormalize(2.0 * vx / max(w - 1, 1) - 1.0, w, False)
+    gy = _unnormalize(2.0 * vy / max(h - 1, 1) - 1.0, h, False)
+    inx = ((gx > 0.0) & (gx < w - 1)).astype(jnp.float32)
+    iny = ((gy > 0.0) & (gy < h - 1)).astype(jnp.float32)
+    gx = jnp.clip(gx, 0.0, w - 1)
+    gy = jnp.clip(gy, 0.0, h - 1)
+    ix0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 1)
+    iy0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 1)
+    fx = (gx - ix0)[..., None]
+    fy = (gy - iy0)[..., None]
+    if 4 * c <= 128:
+        v00, v01, v10, v11 = _gather_corners(x, iy0, ix0)
+    else:
+        ix1 = jnp.clip(ix0 + 1, 0, w - 1)
+        iy1 = jnp.clip(iy0 + 1, 0, h - 1)
+        v00 = _gather_2d(x, iy0, ix0)
+        v01 = _gather_2d(x, iy0, ix1)
+        v10 = _gather_2d(x, iy1, ix0)
+        v11 = _gather_2d(x, iy1, ix1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    out = (top * (1.0 - fy) + bot * fy).astype(x.dtype)
+    dgx = (v01 - v00) * (1.0 - fy) + (v11 - v10) * fy
+    dgy = bot - top
+    res = (dgx, dgy, inx, iny, x, flow)
+    return out, res
+
+
+def _fwcs_bwd(res, cot):
+    dgx, dgy, inx, iny, x, flow = res
+    h, w = dgx.shape[1], dgx.shape[2]
+    cot32 = cot.astype(dgx.dtype)
+    sx = -float(w) / max(w - 1, 1)
+    sy = -float(h) / max(h - 1, 1)
+    gfx = (cot32 * dgx).sum(-1) * inx * sx
+    gfy = (cot32 * dgy).sum(-1) * iny * sy
+    gflow = jnp.stack([gfx, gfy], axis=-1).astype(flow.dtype)
+    return jnp.zeros_like(x), gflow
+
+
+_flow_warp_const_src = jax.custom_vjp(_fwcs_primal)
+_flow_warp_const_src.defvjp(_fwcs_fwd, _fwcs_bwd)

@@ -150,6 +150,36 @@ def main():
         tm(f"{name} fwd+bwd(flow)",
            jax.grad(lambda f, fn=fn: jnp.sum(fn(f).astype(jnp.float32))))
 
+    # Composed chain exactly like the relaxed inner loop's gradient
+    # (profile_relaxed's "warp fwd+bwd(flow)" row): coarse flow ->
+    # smooth_flow (upsample+tanh+101-tap blur) -> warp, differentiated
+    # w.r.t. the COARSE flow.  A/B: autodiff vs the analytic const-src
+    # custom VJP (style image is a constant there).
+    from rerevst_tpu.config import LossConfig
+    from rerevst_tpu.losses.relaxed import smooth_flow
+    from rerevst_tpu.ops.warp import flow_warp_const_src
+
+    lcfg = LossConfig()
+    coarse = jax.random.normal(jax.random.PRNGKey(2),
+                               (b, hw // lcfg.flow_scale,
+                                hw // lcfg.flow_scale, 2), jnp.float32)
+
+    def composed(warp_fn):
+        def loss(f):
+            bounded = smooth_flow(f, hw, hw, lcfg.flow_max)
+            return jnp.sum(warp_fn(x, bounded).astype(jnp.float32))
+        return jax.grad(loss)
+
+    for name, wfn in (("autodiff", lambda xx, ff: flow_warp(xx, ff)),
+                      ("constvjp", flow_warp_const_src)):
+        r = time_fn(jax.jit(composed(wfn)), coarse, iters=args.iters)
+        results[f"smooth+warp bwd(coarse) {name}"] = round(
+            r["per_call_s"] * 1e3, 3)
+    ga = jax.jit(composed(lambda xx, ff: flow_warp(xx, ff)))(coarse)
+    gc = jax.jit(composed(flow_warp_const_src))(coarse)
+    cerr = float(jnp.abs(ga - gc).max() / (jnp.abs(ga).max() + 1e-12))
+    results["constvjp_grad_rel_err"] = cerr
+
     # exactness of fused1 vs the shipped path
     import numpy as np
 

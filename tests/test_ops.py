@@ -197,6 +197,61 @@ class TestGridSample:
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    @pytest.mark.parametrize("c", [3, 64])
+    def test_flow_warp_const_src_forward_bit_equal(self, rng, c):
+        """The analytic-VJP variant's forward is the same op sequence as
+        flow_warp — bit-equal on both the fused (C=3) and 4-gather (C=64)
+        branches."""
+        from rerevst_tpu.ops.warp import flow_warp_const_src
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, c)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((2, 8, 10, 2)) * 3).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(flow_warp_const_src(x, flow)),
+            np.asarray(flow_warp(x, flow, mode="bilinear")))
+
+    @pytest.mark.parametrize("flow_kind", ["random", "zero"])
+    def test_flow_warp_const_src_grad_matches_autodiff(self, rng, flow_kind):
+        """Analytic flow-gradient == autodiff through the gather form.
+        flow=0 puts EVERY border pixel at an exactly-clipped coordinate —
+        the measure-zero tie where torch's clip_coordinates_set_grad zeroes
+        the gradient; both forms must agree there too (the corner difference
+        vanishes under border padding)."""
+        import jax
+
+        from rerevst_tpu.ops.warp import flow_warp_const_src
+
+        x = jnp.asarray(rng.standard_normal((2, 7, 9, 3)).astype(np.float32))
+        if flow_kind == "zero":
+            flow = jnp.zeros((2, 7, 9, 2), jnp.float32)
+        else:
+            flow = jnp.asarray(
+                (rng.standard_normal((2, 7, 9, 2)) * 2.5).astype(np.float32))
+        cot = jnp.asarray(rng.standard_normal((2, 7, 9, 3)).astype(np.float32))
+
+        def loss(fn, f):
+            return jnp.sum(fn(x, f) * cot)
+
+        g_auto = jax.grad(lambda f: loss(
+            lambda xx, ff: flow_warp(xx, ff, mode="bilinear"), f))(flow)
+        g_analytic = jax.grad(lambda f: loss(flow_warp_const_src, f))(flow)
+        np.testing.assert_allclose(np.asarray(g_analytic), np.asarray(g_auto),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_flow_warp_const_src_zero_src_cotangent(self, rng):
+        """By contract the source cotangent is zero (the relaxed loss
+        stop-gradients the style image)."""
+        import jax
+
+        from rerevst_tpu.ops.warp import flow_warp_const_src
+
+        x = jnp.asarray(rng.standard_normal((1, 5, 6, 3)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((1, 5, 6, 2))).astype(np.float32))
+        gx = jax.grad(lambda xx: jnp.sum(flow_warp_const_src(xx, flow)))(x)
+        np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
 
 class TestResize:
     def test_nearest_2x_matches_torch(self, rng):
